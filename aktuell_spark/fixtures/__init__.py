@@ -1,0 +1,7 @@
+from aktuell_spark.fixtures.generator import (
+    gen_tool_events,
+    gen_transcript_changes,
+    gen_transcripts,
+)
+
+__all__ = ["gen_transcripts", "gen_transcript_changes", "gen_tool_events"]

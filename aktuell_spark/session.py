@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode testing stands in for a multi-executor cluster; every setting
+here is chosen to also be correct at 1000-executor / 100 TB scale:
+
+- AQE on (runtime coalesce + skew-join splitting);
+- shuffle partitions sized to cores locally (would be ~2-3x total cores on
+  a real cluster, or left to AQE's coalescing);
+- Arrow enabled for every pandas-UDF boundary;
+- UTC session timezone so event-time semantics are deployment-independent
+  (the reference leaks wall-clock into ClientTimestamp,
+  /root/reference/pkg/sync/database.go:126 — we never do).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "aktuell_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``cores=None`` uses ``local[*]``. On a real cluster this builder is
+    bypassed entirely — ``spark-submit --py-files`` provides the session
+    and these configs move to ``spark-defaults.conf``.
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(cores_env) if cores_env else 0
+    master = f"local[{cores}]" if cores else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cores if cores else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "false")
+        # state store: RocksDB keeps stateful-op state off-heap and
+        # spillable — required at 10^12-turn scale, harmless locally
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,180 @@
+"""Exactly-once keyed upsert sink for ``foreachBatch``.
+
+This is the engine's materialized table — the Spark-side replacement for
+the reference's client-side snapshot array mutated by
+``applyChangeToSnapshot``
+(/root/reference/react-client/src/hooks/useAktuellStream.ts:125-171) and
+for its at-most-once delivery (events dropped on channel overflow,
+/root/reference/pkg/sync/database.go:110-115). Here nothing is ever
+dropped: checkpointed offsets + an idempotent epoch-committed MERGE give
+exactly-once.
+
+With an Iceberg catalog on a real cluster this whole class collapses to::
+
+    MERGE INTO transcripts t USING batch s
+    ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+    WHEN MATCHED AND s.op = 'delete' THEN DELETE
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT *
+
+No Iceberg runtime jar ships in this sandbox, so the same semantics are
+implemented as a bucketed-parquet copy-on-write table: state is hash-
+partitioned into ``bucket = pmod(xxhash64(conv_id), n_buckets)`` dirs; a
+micro-batch rewrites only the buckets it touches (Iceberg's partition-
+level copy-on-write, hand-rolled). Scale math: at 10^12 turns with 2^14
+buckets each bucket holds ~6e7 rows ≈ a few GB of parquet — one executor
+task each; merge cost per batch is proportional to touched buckets, not
+table size, and hot conversations spread because bucket count ≫ executor
+count.
+
+Exactly-once protocol:
+- each epoch writes to ``_tmp-epoch-<n>`` then swaps touched bucket dirs;
+- a ``_commits/<n>`` marker is written last; a replayed epoch (failure
+  before marker) re-merges idempotently — LWW over (partially-updated
+  state ∪ same batch) converges to the same rows;
+- deletes persist as tombstones (op='delete' rows) so a duplicate of an
+  older update replayed in a later epoch cannot resurrect a deleted key;
+  ``read()`` filters tombstones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aktuell_spark.operators.cdc import KEY_COLS, PAYLOAD_COLS, collapse_last_writer_wins
+
+_STATE_COLS = (*PAYLOAD_COLS, "seq", "op")
+
+
+class BucketedUpsertTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 32,
+        key=KEY_COLS,
+        payload=PAYLOAD_COLS,
+        order_col: str = "seq",
+        bucket_key: str = "conv_id",
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self.key = tuple(key)
+        self.payload = tuple(payload)
+        self.order_col = order_col
+        self.bucket_key = bucket_key
+        self.data_dir = os.path.join(root, "data")
+        self.commits_dir = os.path.join(root, "_commits")
+        self.metrics_dir = os.path.join(root, "_metrics")
+        for d in (self.data_dir, self.commits_dir, self.metrics_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- reads ---------------------------------------------------------
+    def read(self) -> DataFrame:
+        """Current materialized state (tombstones filtered)."""
+        raw = self._read_raw()
+        if raw is None:
+            return self.spark.createDataFrame([], self._state_schema()).select(*self.payload)
+        return raw.filter(F.col("op") != "delete").select(*self.payload)
+
+    def _read_raw(self, buckets: list[int] | None = None) -> DataFrame | None:
+        present = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self.data_dir)
+            if e.startswith("bucket=")
+        }
+        if buckets is not None:
+            present &= set(buckets)
+        if not present:
+            return None
+        # concrete dir list (not a glob): dir-level pruning — only touched
+        # buckets are scanned, the Iceberg-partition-pruning equivalent
+        paths = [os.path.join(self.data_dir, f"bucket={b}") for b in sorted(present)]
+        df = self.spark.read.option("basePath", self.data_dir).parquet(*paths)
+        return df.select(*_STATE_COLS, "bucket")
+
+    def _state_schema(self):
+        from aktuell_spark.schemas import CHANGE_SCHEMA
+
+        names = set(_STATE_COLS)
+        import pyspark.sql.types as T
+
+        return T.StructType([f for f in CHANGE_SCHEMA.fields if f.name in names])
+
+    # -- exactly-once merge -------------------------------------------
+    def is_committed(self, epoch_id: int) -> bool:
+        return os.path.exists(os.path.join(self.commits_dir, str(epoch_id)))
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets)).cast("int")
+
+    def merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch body: idempotent MERGE of one micro-batch."""
+        if self.is_committed(epoch_id):
+            return
+        t0 = time.time()
+        batch = batch_df.select(*_STATE_COLS).withColumn("bucket", self._bucket_col())
+        # collapse in-batch chains: one row per key, newest seq wins
+        collapsed = collapse_last_writer_wins(
+            batch.dropDuplicates([self.order_col]), key=self.key, order_col=self.order_col
+        )
+        collapsed = collapsed.persist()
+        touched = [r["bucket"] for r in collapsed.select("bucket").distinct().collect()]
+        if not touched:
+            collapsed.unpersist()
+            self._commit(epoch_id, rows=0, buckets=[], t0=t0)
+            return
+
+        existing = self._read_raw(buckets=touched)
+        merged = (
+            collapsed
+            if existing is None
+            else collapse_last_writer_wins(
+                existing.unionByName(collapsed), key=self.key, order_col=self.order_col
+            )
+        )
+        tmp = os.path.join(self.root, f"_tmp-epoch-{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        # one output file per bucket dir; buckets are small by design
+        (
+            merged.repartition(max(len(touched), 1), "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        n_rows = collapsed.count()
+        collapsed.unpersist()
+        for b in touched:
+            src = os.path.join(tmp, f"bucket={b}")
+            dst = os.path.join(self.data_dir, f"bucket={b}")
+            if os.path.exists(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._commit(epoch_id, rows=n_rows, buckets=touched, t0=t0)
+
+    def _commit(self, epoch_id: int, rows: int, buckets: list[int], t0: float) -> None:
+        # per-epoch lineage + metrics (north rule: per-partition lineage)
+        with open(os.path.join(self.metrics_dir, f"epoch-{epoch_id}.json"), "w") as f:
+            json.dump(
+                {
+                    "epoch": epoch_id,
+                    "merged_rows": rows,
+                    "touched_buckets": sorted(buckets),
+                    "merge_sec": round(time.time() - t0, 3),
+                },
+                f,
+            )
+        with open(os.path.join(self.commits_dir, str(epoch_id)), "w") as f:
+            f.write("ok")
+
+    def foreach_batch(self):
+        """Bind for ``writeStream.foreachBatch``."""
+        return lambda df, epoch: self.merge_batch(df, epoch)

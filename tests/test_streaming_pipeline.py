@@ -1,0 +1,102 @@
+"""End-to-end streaming CDC: feed → watermark dedupe → exactly-once MERGE.
+
+Analogues of the reference integration suite
+(/root/reference/tests/integration_test.go): snapshot+changes equality
+(:311-394), load-test completeness (:512-646 — all events land), and the
+reconnect/resume tests (pkg/client/client.go:431-485) upgraded to
+checkpoint restart with zero loss and byte-identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
+from aktuell_spark.operators.cdc import latest_image
+from aktuell_spark.streaming.pipeline import run_cdc_pipeline, write_change_feed
+from tests.conftest import assert_same_rows, golden_replay
+
+
+def _dirs(tmp_path):
+    return (
+        str(tmp_path / "feed"),
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    feed, table_root, ckpt = _dirs(tmp_path)
+    t = gen_transcripts(spark, n_convs=25, avg_turns=8, hot_turns=60, seed=7)
+    ch = gen_transcript_changes(t, seed=7).localCheckpoint()
+    write_change_feed(ch, feed, n_files=6)
+
+    _, table = run_cdc_pipeline(
+        spark, feed, table_root, ckpt, n_buckets=8, max_files_per_trigger=2
+    )
+    golden = golden_replay([r.asDict() for r in ch.collect()])
+    assert_same_rows(table.read(), golden)
+
+
+def test_pipeline_restart_from_checkpoint_byte_identical(spark, tmp_path):
+    """Two waves with a stop between: restart must pick up only new files
+    and converge to the full replay, with per-turn text byte-identical."""
+    feed, table_root, ckpt = _dirs(tmp_path)
+    t = gen_transcripts(spark, n_convs=25, avg_turns=8, hot_turns=60, seed=11)
+    ch = gen_transcript_changes(t, seed=11).localCheckpoint()
+    n = ch.agg(F.max("seq")).collect()[0][0]
+    wave1 = ch.filter(F.col("seq") <= n // 2)
+    wave2 = ch.filter(F.col("seq") > n // 2)
+
+    write_change_feed(wave1, feed, n_files=4)
+    _, table = run_cdc_pipeline(spark, feed, table_root, ckpt, n_buckets=8)
+    mid_state = {r["conv_id"] + ":" + str(r["turn_idx"]): r["text"] for r in table.read().collect()}
+    golden_mid = golden_replay([r.asDict() for r in wave1.collect()])
+    assert len(mid_state) == len(golden_mid)
+
+    write_change_feed(wave2, feed, n_files=4)
+    _, table = run_cdc_pipeline(spark, feed, table_root, ckpt, n_buckets=8)
+    golden = golden_replay([r.asDict() for r in ch.collect()])
+    assert_same_rows(table.read(), golden)
+
+    # byte-identical vs an independent batch replay under stable ordering
+    batch = latest_image(ch).orderBy("conv_id", "turn_idx").collect()
+    stream_rows = table.read().orderBy("conv_id", "turn_idx").collect()
+    assert [r["text"] for r in batch] == [r["text"] for r in stream_rows]
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """Re-running a committed epoch (failure-recovery replay) must not
+    change state — the exactly-once guarantee of the sink."""
+    feed, table_root, ckpt = _dirs(tmp_path)
+    t = gen_transcripts(spark, n_convs=10, avg_turns=6, hot_turns=20, seed=3)
+    ch = gen_transcript_changes(t, seed=3).localCheckpoint()
+    write_change_feed(ch, feed, n_files=2)
+    _, table = run_cdc_pipeline(spark, feed, table_root, ckpt, n_buckets=4)
+    before = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+
+    # replay epoch 0 verbatim (marker present → no-op)
+    table.merge_batch(ch.limit(50), 0)
+    after = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert before == after
+
+    # simulate failure-before-commit: remove marker, re-merge same batch
+    import os
+
+    os.remove(os.path.join(table.commits_dir, "0"))
+    from aktuell_spark.schemas import CHANGE_SCHEMA  # noqa: F401
+
+    table.merge_batch(ch, 0)  # full batch re-applied over final state
+    after2 = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert before == after2
+
+
+def test_subscription_filter_wildcards(spark):
+    from aktuell_spark.streaming.pipeline import subscription_filter
+
+    t = gen_transcripts(spark, n_convs=5, avg_turns=4, hot_turns=8, seed=1)
+    ch = gen_transcript_changes(t, seed=1)
+    assert subscription_filter(ch, "aktuell", "transcripts").count() == ch.count()
+    assert subscription_filter(ch, "", "").count() == ch.count()  # full wildcard
+    assert subscription_filter(ch, "other", "").count() == 0
+    assert subscription_filter(ch, "aktuell", "nope").count() == 0
