@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship CDC query on sf0.001; ``queries`` exposes
+every implemented operator from SURVEY.md §2 (registry in
+``aktuell_spark.queries``); ``oracle_sql`` gives the DuckDB oracle per
+query (omitted for non-SQL-expressible streaming/stateful ops, which get
+the driver's rows-only check).
 """
 
 from __future__ import annotations
 
+import shutil
+import sys
+import tempfile
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from aktuell_spark.queries import QUERIES, q_cdc_latest_image  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC last-writer-wins materialization on sf0.001."""
+    return q_cdc_latest_image(spark, "/root/testdata/sf0.001")
+
+
+def _stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full streaming path (rows-only check): generated transcript CDC
+    feed → watermarked stream → exactly-once foreachBatch MERGE →
+    materialized table. Non-SQL-expressible (stateful streaming)."""
+    from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
+    from aktuell_spark.streaming.pipeline import run_cdc_pipeline, write_change_feed
+
+    base = tempfile.mkdtemp(prefix="aktuell_stream_")
+    try:
+        t = gen_transcripts(spark, n_convs=50, avg_turns=10, hot_turns=80, seed=42)
+        ch = gen_transcript_changes(t, seed=42).localCheckpoint()
+        write_change_feed(ch, f"{base}/feed", n_files=4)
+        _, table = run_cdc_pipeline(
+            spark, f"{base}/feed", f"{base}/table", f"{base}/ckpt", n_buckets=8
+        )
+        out = table.read().localCheckpoint()  # materialize before cleanup
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _sql) in QUERIES.items()}
+    out["stream_cdc_materialize"] = _stream_cdc_materialize
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,64 @@
+"""Snapshot scans — the bounded "snapshot-then-tail" bootstrap.
+
+Mirrors ``SnapshotOptions`` + ``StreamSnapshot``
+(/root/reference/pkg/models/types.go:24-30,
+/root/reference/pkg/sync/database.go:225-333): count + filter + sort +
+limit, streamed in batches. The reference paginates with skip/limit
+(database.go:287-293) — an O(n²) server-side scan pattern; here a single
+sorted, limited read is planned once (Catalyst pushes the filter to
+parquet and plans limit as TakeOrdered), and batching is a
+``row_number``-derived column, not repeated scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SnapshotOptions:
+    """Per-subscription snapshot knobs (types.go:24-30, defaults at
+    database.go:232-240)."""
+
+    filter_expr: str | None = None
+    sort: list[tuple[str, str]] = field(default_factory=list)  # (col, "asc"|"desc")
+    limit: int = 10_000
+    batch_size: int = 100
+
+
+def snapshot_scan(df: DataFrame, opts: SnapshotOptions) -> DataFrame:
+    """Bounded snapshot: filter → sort → limit (S6/O1/O2)."""
+    out = df
+    if opts.filter_expr:
+        out = out.filter(opts.filter_expr)
+    if opts.sort:
+        out = out.orderBy(
+            *[F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in opts.sort]
+        )
+    return out.limit(opts.limit)
+
+
+def snapshot_total(df: DataFrame, opts: SnapshotOptions) -> int:
+    """Snapshot-total bookkeeping (S7, database.go:254-266)."""
+    out = df.filter(opts.filter_expr) if opts.filter_expr else df
+    return min(out.count(), opts.limit)
+
+
+def snapshot_with_batches(df: DataFrame, opts: SnapshotOptions) -> DataFrame:
+    """Snapshot rows tagged with a batch number (replaces skip/limit
+    pagination, O3): batch_id = (rank-1) / batch_size. One scan, no
+    re-reads; consumers iterate batch_id groups.
+    """
+    snap = snapshot_scan(df, opts)
+    order = (
+        [F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in opts.sort]
+        if opts.sort
+        else [F.lit(1)]
+    )
+    w = Window.orderBy(*order)
+    return snap.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / opts.batch_size).cast("int")
+    )
