@@ -1,0 +1,271 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design (the whole point — these must survive 100 TB):
+
+- exact: one hash-groupBy on a 16-byte fingerprint, map-side combined.
+- n-gram Jaccard: candidate pairs come from an *inverted shingle index*
+  (explode → self-join on shingle), never a cross join; the join key is
+  a 64-bit shingle hash, and the pair aggregation is map-side
+  combinable. Worst-case blowup is bounded by shingle document
+  frequency — a `max_df` cap drops stop-shingles (classic posting-list
+  pruning).
+- MinHash+LSH: fixed-size signature (NUM_PERM ints) per doc computed in
+  one narrow pass (nested `transform`, no shuffle), banded into
+  NUM_BANDS keys; candidates = equi-join on (band_idx, band_key) —
+  again an index join. Verification recomputes exact Jaccard only for
+  candidates.
+- SimHash: 60-bit signature via per-token hash bit-votes, one narrow
+  pass + one groupBy(doc).
+
+All hashes are md5-prefix based (not Spark's murmur3) so the DuckDB
+oracles can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters — shared verbatim with the SQL oracles.
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+NUM_PERM = 16
+NUM_BANDS = 4  # 4 rows per band
+# deterministic permutation constants (a_i odd, b_i) — fixed literals
+PERM_A = [2 * i * i + 3 * i + 1 for i in range(1, NUM_PERM + 1)]
+PERM_B = [7919 * i + 104729 for i in range(NUM_PERM)]
+
+
+def _hash64(col):
+    """Portable 32-bit-range hash: first 8 hex chars of md5 → long.
+    Reproducible in DuckDB as ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc → (id, shingle string).
+
+    Built from n shifted ``slice``s folded with ``zip_with`` — the token
+    array is referenced a constant number of times. (The obvious
+    ``transform(sequence, i -> element_at(t, i+j))`` form inlines the
+    split expression into every element access after project collapse —
+    measured ~10× slower.)
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.slice(t, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, 1 + j, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: canonical id + copy
+    count per distinct content."""
+    from aktuell_spark.functions.textops import with_fingerprint
+
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+    to 6. ``max_df`` drops shingles appearing in more than that many
+    docs (posting-list pruning: a shingle shared by everyone generates
+    O(N²) candidate pairs but carries ~no signal — cap it at scale).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") <= max_df
+        )
+        sh = sh.join(keep.select("shingle"), "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature (NUM_PERM longs), relationally.
+
+    sig[i] = min over shingles of (a_i * h(shingle) + b_i) mod P,
+    h = md5-prefix hash. Formulated as explode(shingle hashes) ×
+    explode(16 perm constants) → min per (doc, perm) — each md5 is
+    computed exactly once and the aggregation is map-side combinable
+    (shuffle cardinality = docs × NUM_PERM, not postings).
+
+    (A nested-transform single-pass variant looks cheaper but Catalyst's
+    CollapseProject re-evaluates the whole shingle+md5 pipeline once per
+    permutation — measured 25× slower. Docs with < n tokens produce no
+    shingles and are dropped, same as an empty signature.)
+    """
+    sh = shingles(df, id_col, text_col, n)
+    perms = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(PERM_A[i]).alias("a"),
+                    F.lit(PERM_B[i]).alias("b"),
+                )
+                for i in range(NUM_PERM)
+            ]
+        )
+    )
+    exploded = sh.select("doc_id", _hash64(F.col("shingle")).alias("h"), perms.alias("p"))
+    minv = (F.col("p.a") * F.col("h") + F.col("p.b")) % F.lit(MINHASH_PRIME)
+    grouped = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("p.i") == k, minv)).alias(f"m{k}")
+            for k in range(NUM_PERM)
+        ]
+    )
+    return grouped.select(
+        "doc_id", F.array(*[F.col(f"m{k}") for k in range(NUM_PERM)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard.
+
+    Banding: NUM_BANDS bands of NUM_PERM/NUM_BANDS rows; candidates
+    share at least one full band (equi-join on band key — the scale
+    path: join fan-out is bounded by bucket sizes, not N²).
+    Output: (doc_a, doc_b, jaccard) — the verified subset.
+    """
+    rows_per_band = NUM_PERM // NUM_BANDS
+    # persist: the band table feeds a self-join (two scans) and the
+    # signature DAG is expensive to recompute — at warehouse scale this
+    # is a materialized signatures table, refreshed incrementally.
+    sigs = minhash_signatures(df, id_col, text_col, n).persist()
+    # band keys: slice the signature per band, stringify
+    band_structs = []
+    for b in range(NUM_BANDS):
+        parts = [
+            F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat_ws(",", *[p.cast("string") for p in parts]).alias("band_key"))
+        )
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify with exact Jaccard computed ONLY over candidate documents:
+    # semi-join the shingle postings down to candidate docs first, so the
+    # expensive pair aggregation scales with |candidates|, not N².
+    cand = cand.persist()
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    sa_, sb_ = sh_c.alias("a"), sh_c.alias("b")
+    common = (
+        sa_.join(
+            sb_,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["doc_a", "doc_b"])  # candidates only
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
+    """SimHash signature (60-bit, signed-safe) per document.
+
+    bit_j(doc) = 1 iff sum over tokens of (2*bit_j(h(token))-1) > 0;
+    h = md5 15-hex-char prefix (60 bits, fits signed 64-bit in both
+    engines). One explode + one groupBy(doc).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = toks.select("doc_id", h.alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else (sim + bit)
+    return votes.select("doc_id", sim.alias("simhash"))

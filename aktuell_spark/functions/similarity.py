@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``knn_bruteforce``: exact cosine top-k — broadcast the (small) query
+  set against the corpus; dot products run JVM-side via
+  ``F.zip_with``/``F.aggregate`` (no Python). This is the correctness
+  baseline; cost O(|Q|·N) with the corpus scanned once.
+- ``knn_lsh``: the scale path — random-hyperplane LSH restricted to
+  axis-aligned planes (sign bits of the first ``n_planes`` dimensions),
+  so buckets are reproducible in plain SQL. Candidates come from an
+  equi-join on bucket key; cosine is computed only within buckets.
+  At 100 TB the corpus is bucketed/partitioned by the key so a query
+  touches one partition (IVF-style cell routing).
+
+Cosine is computed in float64 with left-fold summation order on both
+engines (Spark ``aggregate`` and DuckDB ``list_`` functions fold
+in list order) so results are bit-reproducible for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    Output: (query_id, neighbor_id, rank, sim) — sim rounded to 6,
+    ranked by (sim desc, neighbor_id asc) for determinism.
+    """
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def sign_bucket(vec_col, n_planes: int = 8):
+    """LSH bucket key: sign bits of the first n_planes dimensions,
+    packed little-endian into an int. Axis-aligned hyperplanes — fully
+    reproducible in SQL (DuckDB oracle) and an effective partitioner
+    for roughly-isotropic embeddings."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        bit = F.when(F.element_at(vec_col, j + 1) >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def knn_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs ANN: top-k cosine neighbors per vector *within its LSH
+    bucket* (IVF-cell approximation of the kNN graph).
+
+    Output: (query_id, neighbor_id, rank, sim). Recall < 1 by design;
+    the bucket join replaces the O(N²) cross product with Σ|bucket|².
+    """
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    scored = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") != F.col("c.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(cosine(F.col("a.vec"), F.col("c.vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -351,3 +351,331 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
 }
+
+
+# ----------------------------------------------------------------------
+# Training-data pipeline ops: text analysis, dedup, similarity
+# (documents/embeddings tables; SURVEY §2 extension per round brief)
+# ----------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) — narrow map, no shuffle."""
+    from aktuell_spark.functions.textops import with_token_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len"
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
+       round(length(regexp_replace(text, '\\s+', '', 'g'))
+             / len(string_split(trim(text), ' ')), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: stopword/distinct ratios + combined score."""
+    from aktuell_spark.functions.textops import with_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return with_quality_score(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "distinct_ratio", "quality_score"
+    )
+
+
+SQL_QUALITY_SCORE = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(len(list_filter(toks, x -> x IN ('a','and','of','the','to')))
+             * 1.0 / len(toks), 4) AS stopword_ratio,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS distinct_ratio,
+       round(least(len(toks) / 100.0, 1.0) * 0.4
+             + round(len(list_distinct(toks)) * 1.0 / len(toks), 4) * 0.4
+             + least(round(len(list_filter(toks, x -> x IN ('a','and','of','the','to')))
+                           * 1.0 / len(toks), 4) * 4, 1.0) * 0.2,
+             4) AS quality_score
+FROM t
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID via fixed marker-token heuristic (deterministic)."""
+    from aktuell_spark.functions.textops import with_lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "pred_lang", "lang_score")
+
+
+SQL_LANG_ID = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('table','window','key','batch','order'))) AS s_de,
+    len(list_filter(toks, x -> x IN ('the','fast','slow','value','row'))) AS s_en,
+    len(list_filter(toks, x -> x IN ('query','filter','line','scan','column'))) AS s_es,
+    len(list_filter(toks, x -> x IN ('data','hash','spark','part','join'))) AS s_fr,
+    len(list_filter(toks, x -> x IN ('merge','small','agg','vector','big'))) AS s_zh
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       WHEN s_fr >= s_zh THEN 'fr'
+       ELSE 'zh' END AS pred_lang,
+  greatest(s_de, s_en, s_es, s_fr, s_zh) AS lang_score
+FROM s
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: md5 fingerprint of normalized text → canonical id."""
+    from aktuell_spark.functions.dedupe import exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+SQL_EXACT_DEDUP = """
+SELECT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+         AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+_SQL_SHINGLES = """
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+"""
+
+
+def q_near_dup_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs via inverted shingle index."""
+    from aktuell_spark.functions.dedupe import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+SQL_NEAR_DUP_JACCARD = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 perms, md5-based hashes) as csv string."""
+    from aktuell_spark.functions.dedupe import minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_signatures(docs).select(
+        "doc_id", F.concat_ws(",", F.transform("sig", lambda x: x.cast("string"))).alias("sig_str")
+    )
+
+
+def _minhash_sql() -> str:
+    from aktuell_spark.functions.dedupe import MINHASH_PRIME, NUM_PERM, PERM_A, PERM_B
+
+    a = "[" + ",".join(str(x) for x in PERM_A) + "]"
+    b = "[" + ",".join(str(x) for x in PERM_B) + "]"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in range(1, len(t) - 1)]),
+           g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+)
+SELECT doc_id,
+       array_to_string(
+         [list_min(list_transform(hs,
+             x -> ({a}[i+1] * x + {b}[i+1]) % {MINHASH_PRIME}))
+          for i in range(0, {NUM_PERM})],
+         ',') AS sig_str
+FROM h
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidates (4 bands × 4 rows) verified by exact
+    Jaccard — the scale path for near-dedup."""
+    from aktuell_spark.functions.dedupe import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.2)
+
+
+def _minhash_lsh_sql() -> str:
+    from aktuell_spark.functions.dedupe import (
+        MINHASH_PRIME, NUM_BANDS, NUM_PERM, PERM_A, PERM_B,
+    )
+
+    a = "[" + ",".join(str(x) for x in PERM_A) + "]"
+    b = "[" + ",".join(str(x) for x in PERM_B) + "]"
+    rpb = NUM_PERM // NUM_BANDS
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in range(1, len(t) - 1)]),
+           g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+),
+sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(hs,
+             x -> ({a}[i+1] * x + {b}[i+1]) % {MINHASH_PRIME}))
+          for i in range(0, {NUM_PERM})] AS s
+  FROM h
+),
+bands AS (
+  SELECT doc_id, band_idx,
+         array_to_string(s[band_idx * {rpb} + 1 : band_idx * {rpb} + {rpb}], ',')
+           AS band_key
+  FROM sig, (SELECT unnest(range({NUM_BANDS})) AS band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM cand c
+JOIN common ON common.doc_a = c.doc_a AND common.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """60-bit SimHash per document (md5 token hashes, bit votes)."""
+    from aktuell_spark.functions.dedupe import simhash
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+SQL_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(string_split(trim(text), ' '))), 1, 15))::BIGINT AS h
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, j, sum(2 * ((h >> j) & 1) - 1) AS v
+  FROM tok, (SELECT unnest(range(60)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for query vectors 0..9 (broadcast
+    brute force — the ANN correctness baseline)."""
+    from aktuell_spark.functions.similarity import knn_bruteforce
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, list(range(10)), k=5)
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_knn_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: top-3 in-bucket cosine neighbors per vector
+    (sign bits of first 8 dims as IVF-style cells)."""
+    from aktuell_spark.functions.similarity import knn_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, k=3)
+
+
+SQL_KNN_LSH = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+       + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+       + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+QUERIES.update(
+    {
+        "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+        "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+        "lang_id": (q_lang_id, SQL_LANG_ID),
+        "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        "near_dup_jaccard": (q_near_dup_jaccard, SQL_NEAR_DUP_JACCARD),
+        "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
+        "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
+        "simhash": (q_simhash, SQL_SIMHASH),
+        "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+        "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
+    }
+)
