@@ -679,3 +679,19 @@ QUERIES.update(
         "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
     }
 )
+
+
+def q_stateful_turn_tool_join(spark, sf_dir):
+    """J3/T6: turns × tool-call events with per-conversation ordered
+    buffers (batch mode of the stateful CEP operator; streaming variant
+    exercised in tests). Rows-only check: not SQL-expressible — output
+    includes CEP flush semantics (unmatched turns with null status)."""
+    from aktuell_spark.fixtures import gen_tool_events, gen_transcripts
+    from aktuell_spark.streaming.stateful import join_turns_tools_stateful
+
+    t = gen_transcripts(spark, n_convs=40, avg_turns=10, hot_turns=60, seed=42)
+    te = gen_tool_events(t, seed=42)
+    return join_turns_tools_stateful(t, te)
+
+
+QUERIES.update({"stateful_turn_tool_join": (q_stateful_turn_tool_join, None)})

@@ -62,4 +62,27 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship aktuell_spark to executors (the spark-submit --py-files
+    equivalent): pandas-UDF closures reference this package, and worker
+    processes don't inherit the driver's sys.path edits."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        spark.sparkContext._temp_dir if hasattr(spark.sparkContext, "_temp_dir") else "/tmp",
+        "aktuell_spark_pkg.zip",
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
