@@ -695,3 +695,48 @@ def q_stateful_turn_tool_join(spark, sf_dir):
 
 
 QUERIES.update({"stateful_turn_tool_join": (q_stateful_turn_tool_join, None)})
+
+
+def q_salted_agg(spark, sf_dir):
+    """T7/skew: two-phase salted aggregation — must equal the plain
+    groupBy exactly (oracle is the unsalted SQL)."""
+    from aktuell_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"], {"value": "sum", "event_id": "count"},
+        salt_buckets=16, salt_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.col("count_event_id").alias("n"),
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT event_type, round(sum(value), 2) AS sum_value, count(event_id) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads → mapInPandas feature
+    extraction (stubbed codec). Rows-only: payload synthesis + Arrow
+    batching are the operator under test, not SQL semantics."""
+    from aktuell_spark.functions.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=256, seed=42)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "mime", "n_bytes",
+        F.concat_ws(",", F.transform("feature", lambda x: F.round(x, 6).cast("string"))).alias("feature_str"),
+    )
+
+
+QUERIES.update(
+    {
+        "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+        "multimodal_features": (q_multimodal_features, None),
+    }
+)
