@@ -47,8 +47,11 @@ _FEATURE_DIM = 8
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table: payload = repeatable pseudo-random
     bytes derived from (id, seed); mime cycles through image/audio."""
+    # size partitions to rows: tiny tables shouldn't pay one Python
+    # worker spin-up per core in the downstream mapInPandas
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 64))
     return (
-        spark.range(n)
+        spark.range(0, n, 1, n_parts)
         .withColumn("media_id", F.col("id"))
         .withColumn(
             "mime",

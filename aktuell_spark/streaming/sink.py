@@ -49,8 +49,6 @@ from pyspark.sql import functions as F
 
 from aktuell_spark.operators.cdc import KEY_COLS, PAYLOAD_COLS, collapse_last_writer_wins
 
-_STATE_COLS = (*PAYLOAD_COLS, "seq", "op")
-
 
 class BucketedUpsertTable:
     def __init__(
@@ -61,7 +59,8 @@ class BucketedUpsertTable:
         key=KEY_COLS,
         payload=PAYLOAD_COLS,
         order_col: str = "seq",
-        bucket_key: str = "conv_id",
+        bucket_key: str | None = None,
+        payload_schema=None,
     ) -> None:
         self.spark = spark
         self.root = root
@@ -69,7 +68,9 @@ class BucketedUpsertTable:
         self.key = tuple(key)
         self.payload = tuple(payload)
         self.order_col = order_col
-        self.bucket_key = bucket_key
+        self.bucket_key = bucket_key or self.key[0]
+        self.state_cols = (*self.payload, order_col, "op")
+        self._payload_schema = payload_schema
         self.data_dir = os.path.join(root, "data")
         self.commits_dir = os.path.join(root, "_commits")
         self.metrics_dir = os.path.join(root, "_metrics")
@@ -98,14 +99,19 @@ class BucketedUpsertTable:
         # buckets are scanned, the Iceberg-partition-pruning equivalent
         paths = [os.path.join(self.data_dir, f"bucket={b}") for b in sorted(present)]
         df = self.spark.read.option("basePath", self.data_dir).parquet(*paths)
-        return df.select(*_STATE_COLS, "bucket")
+        return df.select(*self.state_cols, "bucket")
 
     def _state_schema(self):
-        from aktuell_spark.schemas import CHANGE_SCHEMA
-
-        names = set(_STATE_COLS)
         import pyspark.sql.types as T
 
+        if self._payload_schema is not None:
+            fields = [f for f in self._payload_schema.fields if f.name in self.payload]
+            fields.append(T.StructField(self.order_col, T.LongType(), True))
+            fields.append(T.StructField("op", T.StringType(), True))
+            return T.StructType(fields)
+        from aktuell_spark.schemas import CHANGE_SCHEMA
+
+        names = set(self.state_cols)
         return T.StructType([f for f in CHANGE_SCHEMA.fields if f.name in names])
 
     # -- exactly-once merge -------------------------------------------
@@ -120,7 +126,7 @@ class BucketedUpsertTable:
         if self.is_committed(epoch_id):
             return
         t0 = time.time()
-        batch = batch_df.select(*_STATE_COLS).withColumn("bucket", self._bucket_col())
+        batch = batch_df.select(*self.state_cols).withColumn("bucket", self._bucket_col())
         # collapse in-batch chains: one row per key, newest seq wins
         collapsed = collapse_last_writer_wins(
             batch.dropDuplicates([self.order_col]), key=self.key, order_col=self.order_col

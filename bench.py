@@ -96,8 +96,14 @@ def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     spark = get_spark(app_name="aktuell_bench", cores=CPUS, shuffle_partitions=CPUS)
 
-    # warm-up: JVM/codegen/parquet footer caches
+    # warm-up: JVM/codegen/parquet footer caches + Python/Arrow worker
+    # pool (first pandas-UDF call pays ~10s of one-time session setup)
     QUERIES["op_counts"][0](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    from aktuell_spark.functions.multimodal import extract_features, synthesize_media
+
+    extract_features(synthesize_media(spark, n=8)).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():
