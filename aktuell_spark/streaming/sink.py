@@ -132,7 +132,11 @@ class BucketedUpsertTable:
             batch.dropDuplicates([self.order_col]), key=self.key, order_col=self.order_col
         )
         collapsed = collapsed.persist()
-        touched = [r["bucket"] for r in collapsed.select("bucket").distinct().collect()]
+        # one driver action yields both the touched-bucket set (for
+        # dir-level pruning) and the merged-row count (for lineage)
+        bucket_counts = collapsed.groupBy("bucket").count().collect()
+        touched = [r["bucket"] for r in bucket_counts]
+        n_rows = sum(r["count"] for r in bucket_counts)
         if not touched:
             collapsed.unpersist()
             self._commit(epoch_id, rows=0, buckets=[], t0=t0)
@@ -155,7 +159,6 @@ class BucketedUpsertTable:
             .mode("overwrite")
             .parquet(tmp)
         )
-        n_rows = collapsed.count()
         collapsed.unpersist()
         for b in touched:
             src = os.path.join(tmp, f"bucket={b}")

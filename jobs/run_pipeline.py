@@ -1,0 +1,76 @@
+"""spark-submit entry point for the CDC pipeline.
+
+Cluster deployment (north rule):
+
+    python tools/make_pyfiles.py                       # build dist zip
+    spark-submit --py-files dist/aktuell_spark.zip \\
+        jobs/run_pipeline.py \\
+        --feed  s3://bucket/changes/ \\
+        --table s3://bucket/transcripts_materialized/ \\
+        --checkpoint s3://bucket/ckpt/transcripts/ \\
+        [--database aktuell] [--collection transcripts] \\
+        [--n-buckets 16384] [--continuous]
+
+On a cluster the session comes from spark-submit (master/executors set
+by the submitter); this script only builds the query. ``--continuous``
+uses a processingTime trigger instead of availableNow.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--feed", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--database", default="aktuell")
+    ap.add_argument("--collection", default="transcripts")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--metrics-out", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("aktuell_cdc_pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from aktuell_spark.streaming.metrics import ProgressRecorder
+    from aktuell_spark.streaming.pipeline import (
+        read_change_stream,
+        subscription_filter,
+    )
+    from aktuell_spark.streaming.sink import BucketedUpsertTable
+
+    rec = ProgressRecorder(out_path=args.metrics_out)
+    spark.streams.addListener(rec)
+
+    table = BucketedUpsertTable(spark, args.table, n_buckets=args.n_buckets)
+    stream = read_change_stream(spark, args.feed, args.max_files_per_trigger)
+    stream = subscription_filter(stream, args.database, args.collection)
+    writer = (
+        stream.writeStream.foreachBatch(table.foreach_batch())
+        .option("checkpointLocation", args.checkpoint)
+    )
+    if args.continuous:
+        writer = writer.trigger(processingTime="10 seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    import time
+
+    for _ in range(20):  # listener bus is async; drain before summary
+        if rec.summary().get("batches"):
+            break
+        time.sleep(0.5)
+    print(json.dumps({"progress": rec.summary(), "rows": table.read().count()}))
+
+
+if __name__ == "__main__":
+    main()
