@@ -119,6 +119,7 @@ def gen_transcript_changes(
     delete_pct: int = 10,
     dup_pct: int = 5,
     late_pct: int = 2,
+    seq_mode: str = "arrival",
 ) -> DataFrame:
     """CDC event stream over *transcripts* (FIXTURES.md §2).
 
@@ -183,13 +184,27 @@ def gen_transcript_changes(
 
     events = inserts.unionByName(upd1).unionByName(upd2).unionByName(deletes)
 
-    # arrival order := (base_time, tie-breakers) → seq. Fixture-scale only:
-    # a global row_number implies a single-partition sort, fine at test SF,
-    # replaced by source offsets at scale (see docstring).
-    from pyspark.sql import Window
+    if seq_mode == "arrival":
+        # arrival order := (base_time, tie-breakers) → seq. Fixture-scale
+        # only: a global row_number implies a single-partition sort, fine
+        # at test SF, replaced by source offsets at scale.
+        from pyspark.sql import Window
 
-    w = Window.orderBy("base_time", "conv_id", "turn_idx", "op_rank")
-    events = events.withColumn("seq", F.row_number().over(w).cast("long"))
+        w = Window.orderBy("base_time", "conv_id", "turn_idx", "op_rank")
+        events = events.withColumn("seq", F.row_number().over(w).cast("long"))
+    elif seq_mode == "hash":
+        # bench-scale mode, no global sort: LWW correctness needs only
+        # (a) uniqueness and (b) per-key monotonicity across a key's
+        # insert→update→delete chain. 61 hash bits identify the key
+        # (collisions ~k²/2^62, negligible) and the low 2 bits carry the
+        # chain position. Global order is arbitrary — irrelevant to the
+        # final materialized state.
+        key_hash = F.abs(_h("conv_id", "turn_idx", seed=seed + 30)) % F.lit(1 << 61)
+        events = events.withColumn(
+            "seq", (F.shiftleft(key_hash, 2) + F.col("op_rank")).cast("long")
+        )
+    else:
+        raise ValueError(f"unknown seq_mode {seq_mode!r}")
 
     # ~late_pct% of events carry an event time 2h older than their arrival
     # position (exercises watermark drop policy, SURVEY §2.5 W5)

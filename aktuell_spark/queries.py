@@ -740,3 +740,165 @@ QUERIES.update(
         "multimodal_features": (q_multimodal_features, None),
     }
 )
+
+
+# ----------------------------------------------------------------------
+# Relational completions (SURVEY §2.4/§2.7: distinct, rollup, set ops,
+# pivot — absent in the reference, free from Spark SQL; exposed so the
+# engine is a drop-in for reporting workloads over the same tables)
+# ----------------------------------------------------------------------
+
+def q_distinct_users(spark, sf_dir):
+    """DISTINCT over a projection."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+SQL_DISTINCT_USERS = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def q_rollup_report(spark, sf_dir):
+    """ROLLUP (event_type, hour-of-day) with grouping ids."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hod", F.hour(F.col("ts").cast("timestamp")))
+        .rollup("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().alias("gid"),  # must live inside agg()
+        )
+        .select("event_type", "hod", "n", "sum_value", "gid")
+    )
+
+
+SQL_ROLLUP_REPORT = """
+SELECT event_type, hod, count(*) AS n, round(sum(value), 2) AS sum_value,
+       GROUPING(event_type, hod) AS gid
+FROM (SELECT *, CAST(hour(ts) AS INT) AS hod FROM events)
+GROUP BY ROLLUP(event_type, hod)
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT over user cohorts: users who click AND
+    purchase, minus users who ever error."""
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 150)
+    ).select("user_id")
+    buyers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    ).select("user_id")
+    errorers = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 250)
+    ).select("user_id")
+    return clickers.intersect(buyers).exceptAll(errorers.distinct()).select("user_id")
+
+
+SQL_SET_OPS = """
+(SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 150
+ INTERSECT
+ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150)
+EXCEPT ALL
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 250
+"""
+
+
+def q_pivot_counts(spark, sf_dir):
+    """PIVOT: per-user event-type count matrix."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+SQL_PIVOT_COUNTS = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'view') AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES.update(
+    {
+        "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+        "rollup_report": (q_rollup_report, SQL_ROLLUP_REPORT),
+        "set_ops": (q_set_ops, SQL_SET_OPS),
+        "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
+    }
+)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family): candidate
+    pairs from sign-bucket LSH cells, kept when cosine >= 0.4 (no planted near-dups in this corpus; 0.4 captures the same-label tail)."""
+    from aktuell_spark.functions.similarity import cosine, sign_bucket
+
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+        sign_bucket(F.col("embedding"), 8).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") < F.col("c.id")))
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("c.id").alias("vec_b"),
+            F.round(cosine(F.col("a.vec"), F.col("c.vec")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+       + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+       + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 6) AS sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   c.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+def q_distinct_count(spark, sf_dir):
+    """Exact distinct aggregation (A-family): distinct users per type."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_DISTINCT_COUNT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+        "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
+    }
+)

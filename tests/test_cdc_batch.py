@@ -91,3 +91,17 @@ def test_apply_batch_incremental_equals_full_replay(spark):
     state = apply_batch_to_state(state, b2)
     state = apply_batch_to_state(state, b3)
     assert_df_equal(state, full)
+
+
+def test_hash_seq_mode_same_final_state(spark):
+    """seq_mode='hash' (bench-scale, no global sort) must materialize the
+    same final payload as arrival-order seqs: LWW only needs per-key
+    chain monotonicity."""
+    t = gen_transcripts(spark, n_convs=20, avg_turns=8, hot_turns=40, seed=42)
+    arrival = gen_transcript_changes(t, seed=42, seq_mode="arrival").localCheckpoint()
+    hashed = gen_transcript_changes(t, seed=42, seq_mode="hash").localCheckpoint()
+    a = {(r["conv_id"], r["turn_idx"]): (r["text"], r["role"]) for r in latest_image(arrival).collect()}
+    b = {(r["conv_id"], r["turn_idx"]): (r["text"], r["role"]) for r in latest_image(hashed).collect()}
+    assert a == b
+    # uniqueness holds at fixture scale
+    assert hashed.select("seq").distinct().count() == hashed.dropDuplicates(["seq"]).count()
