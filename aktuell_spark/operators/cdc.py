@@ -43,14 +43,17 @@ def collapse_last_writer_wins(
     A micro-batch (or a bounded replay) may hold insert→update→delete
     chains for one key; MERGE semantics need exactly one source row per
     key. Equivalent SQL: ``row_number() over (partition by key order by
-    seq desc) = 1``.
+    seq desc) = 1`` — implemented as ``max_by(struct(*), seq)`` instead:
+    hash aggregation with map-side partial combine, vs the window form's
+    full sort per partition (and no partial aggregation). Ties on
+    ``order_col`` pick an arbitrary row, same as row_number ties —
+    harmless because equal-seq rows are redeliveries of the same event.
     """
-    w = Window.partitionBy(*key).orderBy(F.col(order_col).desc())
-    return (
-        events.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    cols = [c for c in events.columns]
+    packed = events.groupBy(*key).agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols if c not in key]), F.col(order_col)).alias("_r")
     )
+    return packed.select(*key, *[F.col(f"_r.{c}").alias(c) for c in cols if c not in key])
 
 
 def latest_image(

@@ -70,6 +70,21 @@ def subscription_filter(
     return stream.filter(cond)
 
 
+ENRICHED_EXTRA_COLS = (
+    "n_tokens", "stopword_ratio", "distinct_ratio", "quality_score", "fingerprint"
+)
+
+
+def enrich_turns(df):
+    """Ingest-time text enrichment: token stats, quality score, content
+    fingerprint materialized next to the payload (north star: per-turn
+    text transforms run in-engine; these are JVM-side column
+    expressions, no Python). Null text (deletes) yields null metrics."""
+    from aktuell_spark.functions.textops import with_fingerprint, with_quality_score
+
+    return with_fingerprint(with_quality_score(df))
+
+
 def run_cdc_pipeline(
     spark: SparkSession,
     feed_dir: str,
@@ -82,6 +97,7 @@ def run_cdc_pipeline(
     n_buckets: int = 32,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
+    enrich: bool = False,
 ):
     """Run the CDC pipeline with an availableNow trigger (bounded replay).
 
@@ -106,9 +122,19 @@ def run_cdc_pipeline(
       disorder in the feed. Use only when the disorder bound is known;
       the sink MERGE still backstops correctness for what passes through.
     """
-    table = BucketedUpsertTable(spark, table_root, n_buckets=n_buckets)
+    from aktuell_spark.operators.cdc import PAYLOAD_COLS
+
     stream = read_change_stream(spark, feed_dir, max_files_per_trigger)
     stream = subscription_filter(stream, database, collection)
+    if enrich:
+        stream = enrich_turns(stream)
+        payload = (*PAYLOAD_COLS, *ENRICHED_EXTRA_COLS)
+        table = BucketedUpsertTable(
+            spark, table_root, n_buckets=n_buckets, payload=payload,
+            payload_schema=stream.schema,
+        )
+    else:
+        table = BucketedUpsertTable(spark, table_root, n_buckets=n_buckets)
     if dedupe == "watermark":
         stream = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             ["seq"]

@@ -100,3 +100,24 @@ def test_subscription_filter_wildcards(spark):
     assert subscription_filter(ch, "", "").count() == ch.count()  # full wildcard
     assert subscription_filter(ch, "other", "").count() == 0
     assert subscription_filter(ch, "aktuell", "nope").count() == 0
+
+
+def test_pipeline_with_enrichment(spark, tmp_path):
+    """enrich=True materializes per-turn text metrics next to the
+    payload; text itself stays byte-identical to the plain path."""
+    feed, table_root, ckpt = _dirs(tmp_path)
+    t = gen_transcripts(spark, n_convs=10, avg_turns=6, hot_turns=15, seed=19)
+    ch = gen_transcript_changes(t, seed=19).localCheckpoint()
+    write_change_feed(ch, feed, n_files=2)
+    _, table = run_cdc_pipeline(
+        spark, feed, table_root, ckpt, n_buckets=4, enrich=True
+    )
+    rows = table.read().collect()
+    golden = golden_replay([r.asDict() for r in ch.collect()])
+    assert {(r["conv_id"], r["turn_idx"]): r["text"] for r in rows} == {
+        k: v["text"] for k, v in golden.items()
+    }
+    for r in rows:
+        assert r["n_tokens"] == len(r["text"].split())
+        assert len(r["fingerprint"]) == 16
+        assert 0.0 <= r["quality_score"] <= 1.0
