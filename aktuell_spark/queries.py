@@ -902,3 +902,59 @@ QUERIES.update(
         "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
     }
 )
+
+
+def q_snapshot_batches(spark, sf_dir):
+    """O3: snapshot pagination without skip/limit re-scans — one sorted
+    read tagged with batch_id (replaces the reference's O(n²) skip
+    pagination, database.go:276-326)."""
+    from aktuell_spark.operators.snapshot import SnapshotOptions, snapshot_with_batches
+
+    ev = load(spark, sf_dir, "events")
+    snap = snapshot_with_batches(
+        ev,
+        SnapshotOptions(
+            filter_expr="event_type = 'purchase'",
+            sort=[("ts", "desc"), ("event_id", "desc")],
+            limit=500,
+            batch_size=100,
+        ),
+    )
+    return snap.select("event_id", "batch_id")
+
+
+SQL_SNAPSHOT_BATCHES = """
+SELECT event_id, CAST((rn - 1) // 100 AS INT) AS batch_id FROM (
+  SELECT event_id, row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+  ORDER BY ts DESC, event_id DESC LIMIT 500
+)
+"""
+
+
+def q_rate_per_second(spark, sf_dir):
+    """W2: events/sec over sliding windows (dashboard changesPerSecond,
+    react-client/src/types/aktuell.ts:66)."""
+    from aktuell_spark.operators.windows import rate_per_second
+
+    ev = load(spark, sf_dir, "events")
+    return rate_per_second(ev, "ts", "60 seconds", "10 seconds").select(
+        "window_start", "n", "rate_per_sec"
+    )
+
+
+SQL_RATE_PER_SECOND = """
+SELECT (epoch_us(ts) // 10000000) * 10 - k * 10 AS window_start,
+       count(*) AS n,
+       round(count(*) / 60.0, 4) AS rate_per_sec
+FROM events, (SELECT unnest(range(6)) AS k)
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "snapshot_batches": (q_snapshot_batches, SQL_SNAPSHOT_BATCHES),
+        "rate_per_second": (q_rate_per_second, SQL_RATE_PER_SECOND),
+    }
+)
