@@ -32,8 +32,10 @@ def _stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed → watermarked stream → exactly-once foreachBatch MERGE →
     materialized table. Non-SQL-expressible (stateful streaming)."""
     from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
+    from aktuell_spark.session import _ship_package
     from aktuell_spark.streaming.pipeline import run_cdc_pipeline, write_change_feed
 
+    _ship_package(spark)
     base = tempfile.mkdtemp(prefix="aktuell_stream_")
     try:
         t = gen_transcripts(spark, n_convs=50, avg_turns=10, hot_turns=80, seed=42)

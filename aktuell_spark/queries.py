@@ -687,7 +687,10 @@ def q_stateful_turn_tool_join(spark, sf_dir):
     exercised in tests). Rows-only check: not SQL-expressible — output
     includes CEP flush semantics (unmatched turns with null status)."""
     from aktuell_spark.fixtures import gen_tool_events, gen_transcripts
+    from aktuell_spark.session import _ship_package
     from aktuell_spark.streaming.stateful import join_turns_tools_stateful
+
+    _ship_package(spark)  # pandas-UDF closures need the pkg on workers
 
     t = gen_transcripts(spark, n_convs=40, avg_turns=10, hot_turns=60, seed=42)
     te = gen_tool_events(t, seed=42)
@@ -725,7 +728,9 @@ def q_multimodal_features(spark, sf_dir):
     extraction (stubbed codec). Rows-only: payload synthesis + Arrow
     batching are the operator under test, not SQL semantics."""
     from aktuell_spark.functions.multimodal import extract_features, synthesize_media
+    from aktuell_spark.session import _ship_package
 
+    _ship_package(spark)  # mapInPandas closure needs the pkg on workers
     media = synthesize_media(spark, n=256, seed=42)
     feats = extract_features(media)
     return feats.select(

@@ -73,16 +73,13 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        spark.sparkContext._temp_dir if hasattr(spark.sparkContext, "_temp_dir") else "/tmp",
-        "aktuell_spark_pkg.zip",
-    )
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+    zip_path = os.path.join("/tmp", f"aktuell_spark_pkg_{os.getpid()}.zip")
+    # always rebuild: a cached zip would ship stale code after edits
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
