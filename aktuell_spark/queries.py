@@ -963,3 +963,74 @@ QUERIES.update(
         "rate_per_second": (q_rate_per_second, SQL_RATE_PER_SECOND),
     }
 )
+
+
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-style multi-join tree (region⋈nation⋈customer⋈orders⋈
+    lineitem⋈supplier) — exercises Catalyst join reordering + AQE;
+    small dims broadcast automatically."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_users_with_purchases(spark, sf_dir):
+    """EXISTS via left-semi join: customers that have a high-value
+    purchase event (semi joins never duplicate the left side)."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    hot = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 200)).select(
+        (F.col("user_id") + 1).alias("k")
+    )
+    return cust.join(hot, cust.c_custkey == hot.k, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SQL_USERS_WITH_PURCHASES = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM events
+              WHERE event_type = 'purchase' AND value > 200
+                AND user_id + 1 = c_custkey)
+"""
+
+
+QUERIES.update(
+    {
+        "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+        "users_with_purchases": (q_users_with_purchases, SQL_USERS_WITH_PURCHASES),
+    }
+)
