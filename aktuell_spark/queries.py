@@ -1034,3 +1034,41 @@ QUERIES.update(
         "users_with_purchases": (q_users_with_purchases, SQL_USERS_WITH_PURCHASES),
     }
 )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentile aggregation (interpolated, matches SQL
+    quantile_cont) — the reporting companion to the sketch variant."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct sketch (approx_count_distinct) — rows-only:
+    sketch estimates are engine-specific; the pytest suite bounds the
+    relative error against the exact count instead."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+QUERIES.update(
+    {
+        "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+        "hll_distinct": (q_hll_distinct, None),
+    }
+)

@@ -125,3 +125,14 @@ def test_knn_bruteforce_self_similarity(spark):
            knn_bruteforce(emb, [0], k=3).collect()}
     assert got[(0, 1)] == 1
     assert got[(0, 3)] == 3  # antipode last
+
+
+def test_hll_distinct_within_tolerance(spark):
+    """HLL sketch estimate within its configured rsd of the exact count."""
+    from aktuell_spark.queries import q_distinct_count, q_hll_distinct
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: r["n_users"] for r in q_distinct_count(spark, sf).collect()}
+    approx = {r["event_type"]: r["approx_users"] for r in q_hll_distinct(spark, sf).collect()}
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.10, (et, approx[et], n)
