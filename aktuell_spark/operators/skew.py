@@ -78,17 +78,27 @@ def salted_agg(
 
 
 def salted_repartition(
-    df: DataFrame, key: str = "conv_id", salt_buckets: int = 8, n_partitions: int | None = None
+    df: DataFrame,
+    key: str = "conv_id",
+    salt_buckets: int = 8,
+    n_partitions: int | None = None,
+    salt_from: str = "turn_idx",
 ) -> DataFrame:
     """Spread hot keys across ``salt_buckets`` partitions for narrow
     per-row work (T7): repartition on hash(key, salt) where the salt is
-    derived deterministically from the row's secondary column.
+    derived deterministically from ``salt_from`` (any high-cardinality
+    secondary column of the frame).
 
     Use before expensive map-side transforms (text normalization,
     pandas UDFs) when a hot conv would otherwise pin one task; do NOT
     use before keyed stateful ops (state requires all rows of a key on
     one partition).
     """
-    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt_buckets))
+    if salt_from not in df.columns:
+        raise ValueError(
+            f"salt_from column {salt_from!r} not in frame; pick any "
+            f"high-cardinality secondary column of {df.columns}"
+        )
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salt_buckets))
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, F.col(key), salt.alias("__salt"))

@@ -47,11 +47,29 @@ def snapshot_total(df: DataFrame, opts: SnapshotOptions) -> int:
     return min(out.count(), opts.limit)
 
 
+# snapshot_with_batches assigns batch ids with an UNPARTITIONED window —
+# a deliberate single-reducer step, safe only because snapshots are
+# bounded (the reference's snapshot protocol pages a client-sized view,
+# types.go:24-30). Guarded so nobody runs it on an unbounded table.
+MAX_BATCHED_SNAPSHOT_ROWS = 1_000_000
+
+
 def snapshot_with_batches(df: DataFrame, opts: SnapshotOptions) -> DataFrame:
     """Snapshot rows tagged with a batch number (replaces skip/limit
     pagination, O3): batch_id = (rank-1) / batch_size. One scan, no
     re-reads; consumers iterate batch_id groups.
+
+    ``opts.limit`` is capped at MAX_BATCHED_SNAPSHOT_ROWS: batch ids come
+    from a global (unpartitioned) row_number, which serializes onto one
+    reducer — bounded by design for client-facing snapshots, wrong for
+    table-scale exports (use the streaming pipeline for those).
     """
+    if opts.limit > MAX_BATCHED_SNAPSHOT_ROWS:
+        raise ValueError(
+            f"snapshot_with_batches limit={opts.limit} exceeds "
+            f"{MAX_BATCHED_SNAPSHOT_ROWS}: batch tagging is a single-"
+            "reducer global window; page a bounded snapshot instead"
+        )
     snap = snapshot_scan(df, opts)
     order = (
         [F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in opts.sort]

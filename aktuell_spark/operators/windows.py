@@ -92,16 +92,30 @@ def session_counts(
     )
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """Parse a Spark interval string ('5 minutes') to seconds.
+
+    Raises on unknown units instead of silently mis-scaling the rate
+    divisor (a '5 minutes' window must divide by 300, not 5).
+    """
+    parts = spec.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported interval spec {spec!r}; use '<n> <unit>'")
+    return int(parts[0]) * _UNIT_SECONDS[parts[1].lower()]
+
+
 def rate_per_second(
     df: DataFrame, ts_col: str = "ts", size: str = "60 seconds", slide: str = "10 seconds"
 ) -> DataFrame:
     """Events/sec over a sliding window (dashboard changesPerSecond,
     react-client/src/types/aktuell.ts:66)."""
-    size_s = 60  # parsed below for the divisor
-    try:
-        size_s = int(size.split()[0])
-    except ValueError:
-        pass
+    size_s = _interval_seconds(size)
     return sliding_counts(df, ts_col, size, slide).withColumn(
         "rate_per_sec", F.round(F.col("n") / F.lit(size_s), 4)
     )

@@ -1,0 +1,89 @@
+"""Round-2 hardening: tokenizer/oracle parity on irregular whitespace,
+interval parsing, salted-repartition salt source, snapshot batch guard."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from aktuell_spark.functions.textops import with_token_stats
+from aktuell_spark.operators.skew import salted_repartition
+from aktuell_spark.operators.snapshot import SnapshotOptions, snapshot_with_batches
+from aktuell_spark.operators.windows import _interval_seconds, rate_per_second
+
+
+def test_whitespace_tokenization_matches_duckdb(spark, tmp_path):
+    """Engine tokenizes on \\s+; the oracles must agree on tabs, newlines
+    and doubled spaces — this pins the regexp_split_to_array form."""
+    rows = [
+        (0, "plain single spaced words"),
+        (1, "tab\tseparated  and  doubled"),
+        (2, "newline\nbroken\twords   here"),
+        (3, "  leading and trailing   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct_tokens"], r["avg_token_len"])
+        for r in with_token_stats(docs).collect()
+    }
+    con = duckdb.connect()
+    oracle = con.sql(
+        f"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                 AS n_distinct,
+               round(length(regexp_replace(text, '\\s+', '', 'g'))
+                     / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_len
+        FROM read_parquet('{path}/*.parquet')
+        """
+    ).fetchall()
+    for doc_id, n, nd, al in oracle:
+        assert got[doc_id] == (n, nd, al), f"doc {doc_id}: {got[doc_id]} != {(n, nd, al)}"
+    assert got[1][0] == 4  # tab + doubled spaces → 4 tokens, not 6
+
+
+def test_interval_seconds_units():
+    assert _interval_seconds("10 seconds") == 10
+    assert _interval_seconds("5 minutes") == 300
+    assert _interval_seconds("2 hours") == 7200
+    with pytest.raises(ValueError):
+        _interval_seconds("5 fortnights")
+    with pytest.raises(ValueError):
+        _interval_seconds("soon")
+
+
+def test_rate_per_second_minute_window(spark):
+    """A '1 minute' window must divide by 60, not 1."""
+    rows = [(i, "2025-01-01 00:00:%02d" % (i % 60)) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = rate_per_second(df, "ts", "1 minute", "1 minute").collect()
+    full = [r for r in out if r["n"] == 60]
+    assert full and full[0]["rate_per_sec"] == 1.0
+
+
+def test_salted_repartition_custom_salt_source(spark):
+    df = spark.createDataFrame(
+        [("k1", i) for i in range(100)], "conv_id string, other_col int"
+    )
+    out = salted_repartition(df, "conv_id", salt_buckets=4, n_partitions=4,
+                             salt_from="other_col")
+    sizes = [r["c"] for r in out.groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert max(sizes) < 100  # hot key actually spread
+    with pytest.raises(ValueError, match="salt_from"):
+        salted_repartition(df, "conv_id", salt_from="no_such_col")
+
+
+def test_snapshot_with_batches_guard(spark):
+    df = spark.range(10).withColumn("v", F.col("id"))
+    with pytest.raises(ValueError, match="single-"):
+        snapshot_with_batches(
+            df, SnapshotOptions(sort=[("id", "asc")], limit=10_000_000)
+        )
