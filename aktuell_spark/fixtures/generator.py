@@ -120,6 +120,8 @@ def gen_transcript_changes(
     dup_pct: int = 5,
     late_pct: int = 2,
     seq_mode: str = "arrival",
+    partial_updates: bool = False,
+    remove_tool_pct: int = 0,
 ) -> DataFrame:
     """CDC event stream over *transcripts* (FIXTURES.md §2).
 
@@ -127,6 +129,15 @@ def gen_transcript_changes(
     ``SetFullDocument(UpdateLookup)``, pkg/sync/database.go:78) plus the
     partial ``updated_fields`` map mirroring
     ``updateDescription.updatedFields`` (pkg/models/types.go:17).
+
+    ``partial_updates=True`` flips updates to the no-UpdateLookup case:
+    payload columns are null and ONLY ``updated_fields`` /
+    ``removed_fields`` carry the change — same logical stream, so a
+    partial feed materialized with post-image reconstruction must equal
+    the full feed's materialization byte-for-byte.
+    ``remove_tool_pct``: that share of second-wave updates additionally
+    drops the ``tool`` field (``removed_fields=['tool']``; full mode
+    mirrors it as a null-tool post-image).
 
     ``seq`` is a strictly-increasing arrival-order key standing in for the
     stringified resume token (pkg/sync/database.go:176-178). At fixture
@@ -148,23 +159,38 @@ def gen_transcript_changes(
         F.lit(0).alias("op_rank"),
     )
 
-    def _mk_update(suffix: str, delay_s: int, rank: int, pct: int, hseed: int) -> DataFrame:
+    def _mk_update(
+        suffix: str, delay_s: int, rank: int, pct: int, hseed: int, remove_pct: int = 0
+    ) -> DataFrame:
         sel = base.filter(F.pmod(_h("conv_id", "turn_idx", seed=hseed), F.lit(100)) < pct)
         new_text = F.concat(F.col("text"), F.lit(f" [{suffix}]"))
         new_ts = F.col("base_time") + F.make_interval(secs=F.lit(delay_s))
+        removes_tool = F.pmod(_h("conv_id", "turn_idx", seed=hseed + 100), F.lit(100)) < F.lit(
+            remove_pct
+        )
+        removed = F.when(removes_tool, F.array(F.lit("tool"))).otherwise(
+            F.lit(None).cast("array<string>")
+        )
+        nul = F.lit(None).cast("string")
         return sel.select(
             F.lit("update").alias("op"),
-            "conv_id", "turn_idx", "role",
-            new_text.alias("text"), "tool",
+            "conv_id", "turn_idx",
+            (nul if partial_updates else F.col("role")).alias("role"),
+            (nul if partial_updates else new_text).alias("text"),
+            (
+                nul
+                if partial_updates
+                else F.when(removes_tool, nul).otherwise(F.col("tool"))
+            ).alias("tool"),
             new_ts.alias("ts"),
             new_ts.alias("base_time"),
             F.create_map(F.lit("text"), new_text).alias("updated_fields"),
-            F.lit(None).cast("array<string>").alias("removed_fields"),
+            removed.alias("removed_fields"),
             F.lit(rank).alias("op_rank"),
         )
 
     upd1 = _mk_update("rev2", 3600, 1, update_pct, seed + 10)
-    upd2 = _mk_update("rev3", 7200, 2, update2_pct, seed + 11)
+    upd2 = _mk_update("rev3", 7200, 2, update2_pct, seed + 11, remove_pct=remove_tool_pct)
 
     del_ts = F.col("base_time") + F.make_interval(secs=F.lit(10800))
     deletes = base.filter(

@@ -56,6 +56,118 @@ def collapse_last_writer_wins(
     return packed.select(*key, *[F.col(f"_r.{c}").alias(c) for c in cols if c not in key])
 
 
+def is_partial_update(events: DataFrame):
+    """Predicate: event carries a partial update (no full post-image).
+
+    Reference semantics: update events carry ``UpdatedFields`` /
+    ``RemovedFields`` (/root/reference/pkg/models/types.go:17-18); the
+    full post-image is only present when the source can do UpdateLookup
+    (/root/reference/pkg/sync/database.go:78). An update with a null
+    ``text`` payload and a non-null delta is the no-UpdateLookup case.
+    Misclassification is harmless when both representations are
+    consistent: applying the delta to the prior image IS the post-image.
+    Materialized state rows never carry deltas, so they are always full.
+    """
+    return (
+        (F.col("op") == "update")
+        & F.col("text").isNull()
+        & (F.col("updated_fields").isNotNull() | F.col("removed_fields").isNotNull())
+    )
+
+
+def reconstruct_post_images(
+    events: DataFrame,
+    key: Sequence[str] = KEY_COLS,
+    order_col: str = "seq",
+    delta_cols: Sequence[str] = ("role", "text", "tool"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Collapse a batch that mixes full images and partial updates into
+    one full post-image row per key (S3 — the reference's
+    SetFullDocument(UpdateLookup) done in-engine, database.go:78).
+
+    Per key: take the newest *full* event (insert/replace/delete or
+    update-with-post-image) as the base, then fold every partial update
+    newer than it in ``seq`` order — ``updated_fields[c]`` overwrites
+    column c, membership in ``removed_fields`` nulls it, the envelope
+    ``ts``/``seq`` advance with each applied event. MongoDB semantics
+    preserved: a partial update with no base (update on a missing doc)
+    matches nothing and is dropped; partials sequenced after a delete
+    are no-ops (the tombstone stays).
+
+    All JVM-side: one ``max_by`` hash-agg for bases, one
+    ``collect_list`` agg for partials (bounded by a key's in-flight
+    delta chain, not table size), one key-partitioned join, and a
+    higher-order ``aggregate`` fold — no Python, no window sort.
+    Output: key + delta_cols + ts + ``order_col`` + op.
+    """
+    part = is_partial_update(events)
+    base = collapse_last_writer_wins(events.filter(~part), key=key, order_col=order_col)
+
+    ups = (
+        events.filter(part)
+        .groupBy(*key)
+        .agg(
+            # array_sort with an explicit seq comparator: sort_array
+            # cannot order structs that contain map columns
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("seq"),
+                        F.col("updated_fields").alias("uf"),
+                        F.col("removed_fields").alias("rf"),
+                        F.col(ts_col).alias("ts"),
+                    )
+                ),
+                lambda l, r: F.when(l["seq"] < r["seq"], F.lit(-1))
+                .when(l["seq"] > r["seq"], F.lit(1))
+                .otherwise(F.lit(0)),
+            ).alias("_ups")
+        )
+    )
+
+    joined = base.join(ups, on=list(key), how="left")
+
+    def _apply(acc, u):
+        fields = []
+        for c in delta_cols:
+            fields.append(
+                F.when(F.map_contains_key(u["uf"], F.lit(c)), F.element_at(u["uf"], F.lit(c)))
+                .when(
+                    F.coalesce(F.array_contains(u["rf"], F.lit(c)), F.lit(False)),
+                    F.lit(None).cast("string"),
+                )
+                .otherwise(acc[c])
+                .alias(c)
+            )
+        fields.append(u["ts"].alias("ts"))
+        fields.append(u["seq"].alias("seq"))
+        return F.struct(*fields)
+
+    init = F.struct(
+        *[F.col(c).alias(c) for c in delta_cols],
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("seq"),
+    )
+    empty = F.array().cast(ups.schema["_ups"].dataType)
+    applicable = F.when(F.col("op") == "delete", empty).otherwise(
+        F.filter(F.coalesce(F.col("_ups"), empty), lambda u: u["seq"] > F.col(order_col))
+    )
+    folded = F.aggregate(applicable, init, _apply)
+
+    extra = [c for c in events.columns
+             if c not in (*key, *delta_cols, ts_col, order_col, "op",
+                          "updated_fields", "removed_fields")]
+    return joined.select(
+        *key,
+        *[folded[c].alias(c) for c in delta_cols],
+        folded["ts"].alias(ts_col),
+        folded["seq"].alias(order_col),
+        "op",
+        *extra,
+    )
+
+
 def latest_image(
     events: DataFrame,
     key: Sequence[str] = KEY_COLS,

@@ -1049,6 +1049,74 @@ QUERIES.update(
 )
 
 
+def q_partial_update_materialize(spark, sf_dir):
+    """S3 (completed): post-image reconstruction from partial updates —
+    the reference's no-UpdateLookup CDC case (updateDescription only,
+    pkg/models/types.go:17-18 vs SetFullDocument at database.go:78).
+
+    Feed derived from ``events``: each user's first event (by event_id)
+    is an insert with a full payload; every later event is a DELTA-only
+    update (``updated_fields`` sets text, no post-image), and every
+    update with event_id % 5 == 0 also removes the tool field. The
+    engine folds the chains with ``reconstruct_post_images``; the oracle
+    folds them in plain SQL.
+    """
+    from aktuell_spark.operators.cdc import reconstruct_post_images
+
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("event_id").alias("first_id"))
+    evj = ev.join(first, "user_id")
+    is_first = F.col("event_id") == F.col("first_id")
+    vtext = F.concat(F.lit("v"), F.col("event_id").cast("string"))
+    nul = F.lit(None).cast("string")
+    changes = evj.select(
+        F.col("event_id").alias("seq"),
+        F.when(is_first, F.lit("insert")).otherwise(F.lit("update")).alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.when(is_first, F.col("event_type")).otherwise(nul).alias("role"),
+        F.when(is_first, vtext).otherwise(nul).alias("text"),
+        F.when(is_first, F.col("event_id").cast("string")).otherwise(nul).alias("tool"),
+        F.when(~is_first, F.create_map(F.lit("text"), vtext)).alias("updated_fields"),
+        F.when(
+            ~is_first & (F.col("event_id") % 5 == 0), F.array(F.lit("tool"))
+        ).alias("removed_fields"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    out = reconstruct_post_images(changes, key=("conv_id", "turn_idx"))
+    return out.select(
+        "conv_id",
+        F.col("role").alias("last_role"),
+        F.col("text").alias("last_text"),
+        F.col("tool").alias("last_tool"),
+        F.col("seq").alias("last_seq"),
+        _epoch("ts").alias("ts_epoch"),
+    )
+
+
+SQL_PARTIAL_UPDATE_MATERIALIZE = """
+WITH f AS (SELECT user_id, min(event_id) AS first_id FROM events GROUP BY user_id),
+b AS (SELECT e.user_id, e.event_type, e.event_id
+      FROM events e JOIN f ON e.user_id = f.user_id AND e.event_id = f.first_id),
+upd AS (SELECT e.user_id, e.event_id FROM events e
+        JOIN f ON e.user_id = f.user_id WHERE e.event_id > f.first_id),
+last_upd AS (SELECT user_id, max(event_id) AS last_id FROM upd GROUP BY user_id),
+removed AS (SELECT DISTINCT user_id FROM upd WHERE event_id % 5 = 0),
+last_ts AS (SELECT user_id, arg_max(ts, event_id) AS lts FROM events GROUP BY user_id)
+SELECT CAST(b.user_id AS VARCHAR) AS conv_id,
+       b.event_type AS last_role,
+       'v' || CAST(COALESCE(lu.last_id, b.event_id) AS VARCHAR) AS last_text,
+       CASE WHEN r.user_id IS NOT NULL THEN NULL
+            ELSE CAST(b.event_id AS VARCHAR) END AS last_tool,
+       COALESCE(lu.last_id, b.event_id) AS last_seq,
+       CAST(floor(epoch(lt.lts)) AS BIGINT) AS ts_epoch
+FROM b
+LEFT JOIN last_upd lu ON b.user_id = lu.user_id
+LEFT JOIN removed r ON b.user_id = r.user_id
+JOIN last_ts lt ON b.user_id = lt.user_id
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact percentile aggregation (interpolated, matches SQL
     quantile_cont) — the reporting companion to the sketch variant."""
@@ -1081,6 +1149,10 @@ def q_hll_distinct(spark, sf_dir):
 
 QUERIES.update(
     {
+        "partial_update_materialize": (
+            q_partial_update_materialize,
+            SQL_PARTIAL_UPDATE_MATERIALIZE,
+        ),
         "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
         "hll_distinct": (q_hll_distinct, None),
     }

@@ -98,6 +98,7 @@ def run_cdc_pipeline(
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
     enrich: bool = False,
+    partial_updates: bool = False,
 ):
     """Run the CDC pipeline with an availableNow trigger (bounded replay).
 
@@ -124,6 +125,12 @@ def run_cdc_pipeline(
     """
     from aktuell_spark.operators.cdc import PAYLOAD_COLS
 
+    if enrich and partial_updates:
+        # enrichment derives columns from text; a delta-only update has
+        # no text until the sink reconstructs it, so ingest-time
+        # enrichment would materialize stale/null metrics. Recompute
+        # enrichment downstream of the table instead.
+        raise ValueError("enrich=True is incompatible with partial_updates=True")
     stream = read_change_stream(spark, feed_dir, max_files_per_trigger)
     stream = subscription_filter(stream, database, collection)
     if enrich:
@@ -134,7 +141,9 @@ def run_cdc_pipeline(
             payload_schema=stream.schema,
         )
     else:
-        table = BucketedUpsertTable(spark, table_root, n_buckets=n_buckets)
+        table = BucketedUpsertTable(
+            spark, table_root, n_buckets=n_buckets, partial_updates=partial_updates
+        )
     if dedupe == "watermark":
         stream = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             ["seq"]

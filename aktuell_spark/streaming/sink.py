@@ -61,6 +61,8 @@ class BucketedUpsertTable:
         order_col: str = "seq",
         bucket_key: str | None = None,
         payload_schema=None,
+        partial_updates: bool = False,
+        ts_col: str = "ts",
     ) -> None:
         self.spark = spark
         self.root = root
@@ -70,6 +72,17 @@ class BucketedUpsertTable:
         self.order_col = order_col
         self.bucket_key = bucket_key or self.key[0]
         self.state_cols = (*self.payload, order_col, "op")
+        # partial_updates: batches may carry update events WITHOUT a full
+        # post-image (updated_fields/removed_fields only — the reference's
+        # no-UpdateLookup case, pkg/models/types.go:17-18); the merge then
+        # reconstructs post-images against existing state. Delta values
+        # are strings (map<string,string>), so every non-key, non-ts
+        # payload column must be a string column in this mode.
+        self.partial_updates = partial_updates
+        self.ts_col = ts_col
+        self.delta_cols = tuple(
+            c for c in self.payload if c not in self.key and c != ts_col
+        )
         self._payload_schema = payload_schema
         self.data_dir = os.path.join(root, "data")
         self.commits_dir = os.path.join(root, "_commits")
@@ -126,6 +139,9 @@ class BucketedUpsertTable:
         if self.is_committed(epoch_id):
             return
         t0 = time.time()
+        if self.partial_updates:
+            self._merge_with_partials(batch_df, epoch_id, t0)
+            return
         batch = batch_df.select(*self.state_cols).withColumn("bucket", self._bucket_col())
         # collapse in-batch chains: one row per key, newest seq wins.
         # No dropDuplicates(seq) pre-pass: redelivered events carry the
@@ -154,16 +170,68 @@ class BucketedUpsertTable:
                 existing.unionByName(collapsed), key=self.key, order_col=self.order_col
             )
         )
+        self._write_and_swap(merged, collapsed, touched, n_rows, epoch_id, t0)
+
+    def _merge_with_partials(self, batch_df: DataFrame, epoch_id: int, t0: float) -> None:
+        """MERGE where updates may be deltas: union existing state (all
+        full images) with the batch, then reconstruct post-images per key.
+
+        A partial in this batch whose base landed in a previous epoch
+        folds onto the state row; one whose base is in the SAME batch
+        folds onto the in-batch insert. Replay is idempotent: the stored
+        row carries the max applied seq, so replayed deltas (seq <= it)
+        are never re-applied.
+        """
+        from aktuell_spark.operators.cdc import reconstruct_post_images
+
+        delta_schema = ("updated_fields", "removed_fields")
+        batch = batch_df.select(*self.state_cols, *delta_schema).withColumn(
+            "bucket", self._bucket_col()
+        )
+        batch = batch.persist()
+        # touched buckets from the raw batch (cannot pre-collapse: a
+        # delta's base may live only in existing state)
+        bucket_counts = batch.groupBy("bucket").count().collect()
+        touched = [r["bucket"] for r in bucket_counts]
+        n_rows = sum(r["count"] for r in bucket_counts)
+        if not touched:
+            batch.unpersist()
+            self._commit(epoch_id, rows=0, buckets=[], t0=t0)
+            return
+
+        existing = self._read_raw(buckets=touched)
+        if existing is None:
+            src = batch
+        else:
+            src = existing.withColumn(
+                "updated_fields", F.lit(None).cast("map<string,string>")
+            ).withColumn(
+                "removed_fields", F.lit(None).cast("array<string>")
+            ).unionByName(batch)
+        merged = reconstruct_post_images(
+            src,
+            key=self.key,
+            order_col=self.order_col,
+            delta_cols=self.delta_cols,
+            ts_col=self.ts_col,
+        )
+        self._write_and_swap(merged, batch, touched, n_rows, epoch_id, t0)
+
+    def _write_and_swap(
+        self, merged: DataFrame, cached: DataFrame, touched: list[int],
+        n_rows: int, epoch_id: int, t0: float,
+    ) -> None:
         tmp = os.path.join(self.root, f"_tmp-epoch-{epoch_id}")
         shutil.rmtree(tmp, ignore_errors=True)
         # one output file per bucket dir; buckets are small by design
         (
-            merged.repartition(max(len(touched), 1), "bucket")
+            merged.select(*self.state_cols, "bucket")
+            .repartition(max(len(touched), 1), "bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(tmp)
         )
-        collapsed.unpersist()
+        cached.unpersist()
         for b in touched:
             src = os.path.join(tmp, f"bucket={b}")
             dst = os.path.join(self.data_dir, f"bucket={b}")
