@@ -28,10 +28,18 @@ table size, and hot conversations spread because bucket count ≫ executor
 count.
 
 Exactly-once protocol:
-- each epoch writes to ``_tmp-epoch-<n>`` then swaps touched bucket dirs;
-- a ``_commits/<n>`` marker is written last; a replayed epoch (failure
-  before marker) re-merges idempotently — LWW over (partially-updated
-  state ∪ same batch) converges to the same rows;
+- each epoch writes to ``_tmp-epoch-<n>``, then swaps each touched
+  bucket crash-safely: the live dir is first moved aside to
+  ``_aside-epoch-<n>/bucket=K``, then the new dir moved in — at every
+  instant either the pre-epoch or the post-epoch image of a bucket
+  exists on disk;
+- a ``_commits/<n>`` marker is written last, then asides are deleted;
+- ``_recover()`` (constructor + every merge) undoes interrupted epochs:
+  asides of an uncommitted epoch are restored over any half-swapped
+  state (the replayed batch re-merges deterministically onto the
+  pre-epoch image), asides of a committed epoch are garbage-collected;
+- a replayed epoch (failure before marker) re-merges idempotently —
+  LWW over (pre-epoch state ∪ same batch) converges to the same rows;
 - deletes persist as tombstones (op='delete' rows) so a duplicate of an
   older update replayed in a later epoch cannot resurrect a deleted key;
   ``read()`` filters tombstones.
@@ -89,6 +97,33 @@ class BucketedUpsertTable:
         self.metrics_dir = os.path.join(root, "_metrics")
         for d in (self.data_dir, self.commits_dir, self.metrics_dir):
             os.makedirs(d, exist_ok=True)
+        self._recover()
+
+    def _aside_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.root, f"_aside-epoch-{epoch_id}")
+
+    def _recover(self) -> None:
+        """Undo interrupted epochs (crash-safe swap, see module doc).
+
+        For every ``_aside-epoch-<n>``: if epoch n committed, the aside
+        is garbage (crash between marker and cleanup) — delete it; if
+        uncommitted, the epoch died mid-swap — restore each aside bucket
+        over whatever half-swapped state exists, so the table is exactly
+        its pre-epoch image and the replay re-merges onto it. Stale
+        ``_tmp-epoch-*`` dirs are always disposable.
+        """
+        for entry in os.listdir(self.root):
+            path = os.path.join(self.root, entry)
+            if entry.startswith("_tmp-epoch-"):
+                shutil.rmtree(path, ignore_errors=True)
+            elif entry.startswith("_aside-epoch-"):
+                epoch = int(entry[len("_aside-epoch-"):])  # may be negative
+                if not self.is_committed(epoch):
+                    for bdir in os.listdir(path):
+                        dst = os.path.join(self.data_dir, bdir)
+                        shutil.rmtree(dst, ignore_errors=True)
+                        os.replace(os.path.join(path, bdir), dst)
+                shutil.rmtree(path, ignore_errors=True)
 
     # -- reads ---------------------------------------------------------
     def read(self) -> DataFrame:
@@ -138,6 +173,9 @@ class BucketedUpsertTable:
         """foreachBatch body: idempotent MERGE of one micro-batch."""
         if self.is_committed(epoch_id):
             return
+        # in-process retry of a failed epoch reuses this object — roll
+        # back any half-swapped state before re-merging (cheap listdir)
+        self._recover()
         t0 = time.time()
         if self.partial_updates:
             self._merge_with_partials(batch_df, epoch_id, t0)
@@ -232,11 +270,18 @@ class BucketedUpsertTable:
             .parquet(tmp)
         )
         cached.unpersist()
+        # crash-safe swap: live bucket moves aside BEFORE the new one
+        # moves in; a crash at any point leaves either image restorable
+        # (_recover), never a missing bucket whose only copy was _tmp
+        aside = self._aside_dir(epoch_id)
+        shutil.rmtree(aside, ignore_errors=True)
+        os.makedirs(aside, exist_ok=True)
         for b in touched:
             src = os.path.join(tmp, f"bucket={b}")
             dst = os.path.join(self.data_dir, f"bucket={b}")
+            if os.path.exists(dst):
+                os.replace(dst, os.path.join(aside, f"bucket={b}"))
             if os.path.exists(src):
-                shutil.rmtree(dst, ignore_errors=True)
                 os.replace(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
         self._commit(epoch_id, rows=n_rows, buckets=touched, t0=t0)
@@ -255,6 +300,8 @@ class BucketedUpsertTable:
             )
         with open(os.path.join(self.commits_dir, str(epoch_id)), "w") as f:
             f.write("ok")
+        # asides are only needed to roll back an uncommitted epoch
+        shutil.rmtree(self._aside_dir(epoch_id), ignore_errors=True)
 
     def foreach_batch(self):
         """Bind for ``writeStream.foreachBatch``."""
