@@ -252,6 +252,30 @@ def gen_transcript_changes(
     )
 
 
+def inject_collection_op(
+    events: DataFrame,
+    op: str,
+    seq: int,
+    ts,
+    database: str = "aktuell",
+    collection: str = "transcripts",
+) -> DataFrame:
+    """Union one collection-level op row (``drop``/``rename``) into a
+    change feed (reference op enum: pkg/models/types.go:101-108).
+
+    The sentinel key ('', -1) satisfies the non-null key schema; the
+    sink strips marker rows from the payload. ``seq`` must be unique in
+    the feed if the watermark-dedupe mode is used; the sink MERGE path
+    does not care.
+    """
+    from aktuell_spark.schemas import CHANGE_SCHEMA
+
+    assert op in ("drop", "rename"), op
+    spark = events.sparkSession
+    row = (seq, op, database, collection, "", -1, None, None, None, None, None, ts)
+    return events.unionByName(spark.createDataFrame([row], CHANGE_SCHEMA))
+
+
 def gen_tool_events(transcripts: DataFrame, seed: int = 42) -> DataFrame:
     """Tool-call event stream (FIXTURES.md §3) — stateful-join partner.
 

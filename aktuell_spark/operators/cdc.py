@@ -56,6 +56,26 @@ def collapse_last_writer_wins(
     return packed.select(*key, *[F.col(f"_r.{c}").alias(c) for c in cols if c not in key])
 
 
+def apply_collection_ops(events: DataFrame, order_col: str = "seq") -> DataFrame:
+    """Batch analogue of the sink's collection-op handling
+    (drop/rename, reference op enum /root/reference/pkg/models/types.go:101-108).
+
+    The newest ``drop`` seq is a collection-level tombstone: every event
+    at or below it is dead (MongoDB drop removes all documents).
+    ``rename`` preserves documents — marker rows are removed, routing is
+    the subscription filter's job. The floor travels as a broadcast
+    one-row aggregate, so this is a narrow filter with no driver action
+    and no shuffle beyond the scalar agg.
+    """
+    floor = events.agg(
+        F.max(F.when(F.col("op") == "drop", F.col(order_col))).alias("_floor")
+    )
+    out = events.join(F.broadcast(floor), how="cross")
+    out = out.filter(~F.col("op").isin("drop", "rename"))
+    out = out.filter(F.col("_floor").isNull() | (F.col(order_col) > F.col("_floor")))
+    return out.drop("_floor")
+
+
 def is_partial_update(events: DataFrame):
     """Predicate: event carries a partial update (no full post-image).
 

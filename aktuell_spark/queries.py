@@ -1117,6 +1117,48 @@ JOIN last_ts lt ON b.user_id = lt.user_id
 """
 
 
+def q_drop_mid_feed(spark, sf_dir):
+    """Collection ``drop`` mid-feed (reference op enum
+    pkg/models/types.go:101-108; Mongo semantics: drop removes every
+    document). Feed derived from ``events``: one insert per event keyed
+    by user, plus a drop marker at seq = max(event_id)/2 — only keys
+    whose newest event outlives the drop survive.
+    """
+    from aktuell_spark.operators.cdc import apply_collection_ops, collapse_last_writer_wins
+
+    ev = load(spark, sf_dir, "events")
+    inserts = ev.select(
+        F.col("event_id").alias("seq"),
+        F.lit("insert").alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("text"),
+    )
+    drop_row = ev.agg((F.max("event_id") / 2).cast("long").alias("seq")).select(
+        "seq",
+        F.lit("drop").alias("op"),
+        F.lit("").alias("conv_id"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    feed = inserts.unionByName(drop_row)
+    alive = apply_collection_ops(feed)
+    out = collapse_last_writer_wins(alive, key=("conv_id",), order_col="seq")
+    return out.select(
+        "conv_id",
+        F.col("text").alias("last_text"),
+        F.col("seq").alias("last_seq"),
+    )
+
+
+SQL_DROP_MID_FEED = """
+SELECT CAST(user_id AS VARCHAR) AS conv_id,
+       'v' || CAST(max(event_id) AS VARCHAR) AS last_text,
+       max(event_id) AS last_seq
+FROM events
+WHERE event_id > (SELECT max(event_id) // 2 FROM events)
+GROUP BY user_id
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact percentile aggregation (interpolated, matches SQL
     quantile_cont) — the reporting companion to the sketch variant."""
@@ -1153,6 +1195,7 @@ QUERIES.update(
             q_partial_update_materialize,
             SQL_PARTIAL_UPDATE_MATERIALIZE,
         ),
+        "drop_mid_feed": (q_drop_mid_feed, SQL_DROP_MID_FEED),
         "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
         "hll_distinct": (q_hll_distinct, None),
     }

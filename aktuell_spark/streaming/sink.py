@@ -180,35 +180,107 @@ class BucketedUpsertTable:
         if self.partial_updates:
             self._merge_with_partials(batch_df, epoch_id, t0)
             return
-        batch = batch_df.select(*self.state_cols).withColumn("bucket", self._bucket_col())
-        # collapse in-batch chains: one row per key, newest seq wins.
+        batch = batch_df.select(*self.state_cols).withColumn(
+            "bucket", self._bucket_col()
+        ).persist()
+        # one driver action yields the touched-bucket set (dir-level
+        # pruning), the batch row count (lineage), and any collection-op
+        # seqs (drop/rename)
+        touched, n_rows, drop_floor = self._batch_stats(batch, epoch_id)
+        if not touched:
+            batch.unpersist()
+            self._commit(epoch_id, rows=0, buckets=[], t0=t0)
+            return
+
+        ev = self._filter_collection_ops(batch, drop_floor)
+        existing = self._read_raw(buckets=touched)
+        if existing is not None and drop_floor is not None:
+            existing = existing.filter(F.col(self.order_col) > drop_floor)
+        # single collapse over (existing state ∪ batch events): one row
+        # per key, newest seq wins — in-batch insert→update→delete
+        # chains and the cross-epoch MERGE fold in the same shuffle.
         # No dropDuplicates(seq) pre-pass: redelivered events carry the
         # same (key, seq, payload), so the max_by collapse already picks
         # exactly one of them — an explicit dedupe would only add a
         # second full shuffle (measured ~half the merge cost).
-        collapsed = collapse_last_writer_wins(
-            batch, key=self.key, order_col=self.order_col
-        )
-        collapsed = collapsed.persist()
-        # one driver action yields both the touched-bucket set (for
-        # dir-level pruning) and the merged-row count (for lineage)
-        bucket_counts = collapsed.groupBy("bucket").count().collect()
-        touched = [r["bucket"] for r in bucket_counts]
-        n_rows = sum(r["count"] for r in bucket_counts)
-        if not touched:
-            collapsed.unpersist()
-            self._commit(epoch_id, rows=0, buckets=[], t0=t0)
-            return
+        src = ev if existing is None else existing.unionByName(ev)
+        merged = collapse_last_writer_wins(src, key=self.key, order_col=self.order_col)
+        self._write_and_swap(merged, batch, touched, n_rows, epoch_id, t0)
 
-        existing = self._read_raw(buckets=touched)
-        merged = (
-            collapsed
-            if existing is None
-            else collapse_last_writer_wins(
-                existing.unionByName(collapsed), key=self.key, order_col=self.order_col
-            )
+    # -- collection-level ops (drop/rename, reference op enum:
+    # /root/reference/pkg/models/types.go:101-108) ----------------------
+    @property
+    def _drop_seq_path(self) -> str:
+        return os.path.join(self.root, "_drop_seq")
+
+    def drop_floor(self) -> int | None:
+        """Highest applied collection-drop seq (None = never dropped)."""
+        try:
+            with open(self._drop_seq_path) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _advance_drop_floor(self, batch_drop: int | None) -> int | None:
+        """Monotonically persist the drop watermark; returns the floor.
+
+        The floor is the collection-level tombstone: every row with
+        seq <= floor is dead, and persisting it means a duplicate of an
+        older event replayed EPOCHS later still cannot resurrect dropped
+        keys (same argument as per-key delete tombstones). Written
+        atomically and idempotently (replays rewrite the same value).
+        """
+        stored = self.drop_floor()
+        new = stored if batch_drop is None else max(batch_drop, stored or batch_drop)
+        if new is not None and new != stored:
+            tmp = self._drop_seq_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(new))
+            os.replace(tmp, self._drop_seq_path)
+        return new
+
+    def _present_buckets(self) -> list[int]:
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self.data_dir)
+            if e.startswith("bucket=")
         )
-        self._write_and_swap(merged, collapsed, touched, n_rows, epoch_id, t0)
+
+    def _batch_stats(self, batch: DataFrame, epoch_id: int):
+        """One action: per-bucket counts + collection-op seq maxima.
+
+        A drop expands the touched set to every existing bucket (the
+        truncation rewrites them all — the Iceberg equivalent is a
+        partition-wide DELETE).
+        """
+        op, seq = F.col("op"), F.col(self.order_col)
+        stats = batch.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(op == "drop", seq)).alias("dmax"),
+            F.max(F.when(op == "rename", seq)).alias("rmax"),
+        ).collect()
+        touched = [r["bucket"] for r in stats]
+        n_rows = sum(r["n"] for r in stats)
+        batch_drop = max((r["dmax"] for r in stats if r["dmax"] is not None), default=None)
+        rename_seq = max((r["rmax"] for r in stats if r["rmax"] is not None), default=None)
+        if rename_seq is not None:
+            # rename preserves documents (Mongo semantics); record it as
+            # lineage — routing changes fall out of subscription_filter
+            # because later events carry the new collection name
+            with open(os.path.join(self.metrics_dir, f"rename-{epoch_id}.json"), "w") as f:
+                json.dump({"epoch": epoch_id, "rename_seq": rename_seq}, f)
+        floor = self._advance_drop_floor(batch_drop)
+        if batch_drop is not None:
+            touched = sorted(set(touched) | set(self._present_buckets()))
+        return touched, n_rows, floor
+
+    def _filter_collection_ops(self, batch: DataFrame, floor: int | None) -> DataFrame:
+        """Exclude drop/rename marker rows from the payload and apply the
+        drop watermark BEFORE the collapse shuffle (dead rows never move)."""
+        ev = batch.filter(~F.col("op").isin("drop", "rename"))
+        if floor is not None:
+            ev = ev.filter(F.col(self.order_col) > floor)
+        return ev
 
     def _merge_with_partials(self, batch_df: DataFrame, epoch_id: int, t0: float) -> None:
         """MERGE where updates may be deltas: union existing state (all
@@ -229,23 +301,24 @@ class BucketedUpsertTable:
         batch = batch.persist()
         # touched buckets from the raw batch (cannot pre-collapse: a
         # delta's base may live only in existing state)
-        bucket_counts = batch.groupBy("bucket").count().collect()
-        touched = [r["bucket"] for r in bucket_counts]
-        n_rows = sum(r["count"] for r in bucket_counts)
+        touched, n_rows, drop_floor = self._batch_stats(batch, epoch_id)
         if not touched:
             batch.unpersist()
             self._commit(epoch_id, rows=0, buckets=[], t0=t0)
             return
 
+        ev = self._filter_collection_ops(batch, drop_floor)
         existing = self._read_raw(buckets=touched)
+        if existing is not None and drop_floor is not None:
+            existing = existing.filter(F.col(self.order_col) > drop_floor)
         if existing is None:
-            src = batch
+            src = ev
         else:
             src = existing.withColumn(
                 "updated_fields", F.lit(None).cast("map<string,string>")
             ).withColumn(
                 "removed_fields", F.lit(None).cast("array<string>")
-            ).unionByName(batch)
+            ).unionByName(ev)
         merged = reconstruct_post_images(
             src,
             key=self.key,
