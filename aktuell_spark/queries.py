@@ -1159,6 +1159,45 @@ GROUP BY user_id
 """
 
 
+def q_multi_subscription_routing(spark, sf_dir):
+    """One event → N subscribers (hub fan-out,
+    /root/reference/pkg/server/websocket.go:226-293), batch form: a
+    SINGLE scan routes each event to every matching subscription via an
+    exploded match array (never N scans), then per-(subscription, key)
+    LWW. Subscriptions overlap deliberately — sub_a matches
+    click/purchase, sub_b matches value > 200 — so one event can land
+    in both, like one change event reaching multiple websocket clients.
+    """
+    ev = load(spark, sf_dir, "events")
+    matches = F.array(
+        F.when(F.col("event_type").isin("click", "purchase"), F.lit("sub_a")),
+        F.when(F.col("value") > 200, F.lit("sub_b")),
+    )
+    routed = ev.withColumn(
+        "sub", F.explode(F.filter(matches, lambda x: x.isNotNull()))
+    )
+    return routed.groupBy("sub", "user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.count(F.lit(1)).alias("n_delivered"),
+    )
+
+
+SQL_MULTI_SUBSCRIPTION_ROUTING = """
+SELECT 'sub_a' AS sub, user_id,
+       max(event_id) AS last_event_id,
+       arg_max(event_type, event_id) AS last_event_type,
+       count(*) AS n_delivered
+FROM events WHERE event_type IN ('click', 'purchase') GROUP BY user_id
+UNION ALL
+SELECT 'sub_b' AS sub, user_id,
+       max(event_id) AS last_event_id,
+       arg_max(event_type, event_id) AS last_event_type,
+       count(*) AS n_delivered
+FROM events WHERE value > 200 GROUP BY user_id
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact percentile aggregation (interpolated, matches SQL
     quantile_cont) — the reporting companion to the sketch variant."""
@@ -1196,6 +1235,10 @@ QUERIES.update(
             SQL_PARTIAL_UPDATE_MATERIALIZE,
         ),
         "drop_mid_feed": (q_drop_mid_feed, SQL_DROP_MID_FEED),
+        "multi_subscription_routing": (
+            q_multi_subscription_routing,
+            SQL_MULTI_SUBSCRIPTION_ROUTING,
+        ),
         "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
         "hll_distinct": (q_hll_distinct, None),
     }

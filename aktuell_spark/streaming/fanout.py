@@ -1,0 +1,130 @@
+"""Multi-subscription fan-out: one change feed → N subscribers.
+
+Spark restatement of the reference's hub fan-out
+(/root/reference/pkg/server/websocket.go:226-293: one change event is
+routed to every subscribed client; 5-concurrent-clients test at
+tests/integration_test.go:433-509). Each subscription materializes its
+filtered view into its own exactly-once table.
+
+Design for scale: the source is read ONCE per micro-batch; the batch is
+cached and each subscription's filter + MERGE runs against the cache,
+so fan-out cost is N× the (small) merge, not N× the source scan. Each
+per-subscription table keeps its own commit markers, so a replayed
+epoch skips the subscriptions that already committed and re-merges only
+the ones that didn't — per-subscription exactly-once.
+
+``Subscription.predicate`` is the document-level filter the reference
+leaves as a TODO (pkg/client/client.go:397-398): any SQL boolean
+expression over the event columns, evaluated per event. Key it on
+always-present columns (keys/namespace); payload fields are null on
+deletes, which then won't match.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aktuell_spark.streaming.bootstrap import EngineConfig
+from aktuell_spark.streaming.pipeline import read_change_stream, subscription_filter
+from aktuell_spark.streaming.sink import BucketedUpsertTable
+
+
+@dataclass
+class Subscription:
+    """Named subscription: namespace match (F1) + optional doc filter."""
+
+    name: str
+    database: str = ""
+    collection: str = ""
+    predicate: str | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = subscription_filter(df, self.database, self.collection)
+        if self.predicate:
+            out = out.filter(self.predicate)
+        return out
+
+
+class FanoutSink:
+    """foreachBatch body that MERGEs one batch into N subscription tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        subs: list[Subscription],
+        n_buckets: int = 32,
+        partial_updates: bool = False,
+    ) -> None:
+        names = [s.name for s in subs]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate subscription names: {names}")
+        self.subs = list(subs)
+        self.tables = {
+            s.name: BucketedUpsertTable(
+                spark,
+                os.path.join(root, f"sub={s.name}"),
+                n_buckets=n_buckets,
+                partial_updates=partial_updates,
+            )
+            for s in subs
+        }
+
+    def merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        pending = [
+            s for s in self.subs if not self.tables[s.name].is_committed(epoch_id)
+        ]
+        if not pending:
+            return
+        batch_df = batch_df.persist()
+        try:
+            for s in pending:
+                self.tables[s.name].merge_batch(s.apply(batch_df), epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    def foreach_batch(self):
+        return lambda df, epoch: self.merge_batch(df, epoch)
+
+    def read(self, name: str) -> DataFrame:
+        return self.tables[name].read()
+
+
+def run_fanout_pipeline(
+    spark: SparkSession,
+    feed_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    subs: list[Subscription],
+    n_buckets: int = 32,
+    config: EngineConfig | None = None,
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+):
+    """One readStream → N per-subscription exactly-once tables.
+
+    ``config`` (when given) validates every subscription up front,
+    mirroring IsValidSubscription (pkg/sync/manager.go:222-241).
+    Returns (query, sink).
+    """
+    if config is not None:
+        for s in subs:
+            if not config.is_valid_subscription(s.database, s.collection):
+                raise ValueError(
+                    f"invalid subscription {s.name!r}: "
+                    f"{s.database}/{s.collection} is not configured"
+                )
+    sink = FanoutSink(spark, root, subs, n_buckets=n_buckets)
+    stream = read_change_stream(spark, feed_dir, max_files_per_trigger)
+    query = (
+        stream.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query, sink

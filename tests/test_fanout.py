@@ -1,0 +1,112 @@
+"""Multi-subscription fan-out: one feed → N per-subscription tables.
+
+Reference: hub routes one change event to every subscribed client
+(/root/reference/pkg/server/websocket.go:226-293); five concurrent
+clients each receive their filtered stream
+(tests/integration_test.go:433-509)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
+from aktuell_spark.streaming.bootstrap import EngineConfig
+from aktuell_spark.streaming.fanout import Subscription, run_fanout_pipeline
+from aktuell_spark.streaming.pipeline import run_cdc_pipeline, write_change_feed
+
+
+@pytest.fixture(scope="module")
+def two_collection_feed(spark, tmp_path_factory):
+    """Change feed whose events split across two collections."""
+    base = tmp_path_factory.mktemp("fanout")
+    t = gen_transcripts(spark, n_convs=24, avg_turns=8, hot_turns=30, seed=13)
+    ch = gen_transcript_changes(t, seed=13).withColumn(
+        "collection",
+        F.when(
+            F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, F.lit("transcripts")
+        ).otherwise(F.lit("notes")),
+    ).localCheckpoint()
+    feed = f"{base}/feed"
+    write_change_feed(ch, feed, n_files=3)
+    return base, feed, ch
+
+
+def test_fanout_matches_single_subscription_runs(spark, two_collection_feed):
+    """Each fanned-out table is byte-identical to a dedicated
+    single-subscription pipeline over the same feed."""
+    base, feed, _ = two_collection_feed
+    subs = [
+        Subscription("s_tr", collection="transcripts"),
+        Subscription("s_no", collection="notes"),
+    ]
+    _, sink = run_fanout_pipeline(
+        spark, feed, f"{base}/fan", f"{base}/fanck", subs, n_buckets=8,
+        max_files_per_trigger=1,
+    )
+    for name, coll in [("s_tr", "transcripts"), ("s_no", "notes")]:
+        _, solo = run_cdc_pipeline(
+            spark, feed, f"{base}/solo_{name}", f"{base}/solock_{name}",
+            collection=coll, n_buckets=8,
+        )
+        fan_rows = sorted(map(tuple, sink.read(name).collect()))
+        solo_rows = sorted(map(tuple, solo.read().collect()))
+        assert fan_rows == solo_rows and len(fan_rows) > 0
+
+    # the two views partition the feed's keys (collections are disjoint)
+    tr = {(r["conv_id"], r["turn_idx"]) for r in sink.read("s_tr").collect()}
+    no = {(r["conv_id"], r["turn_idx"]) for r in sink.read("s_no").collect()}
+    assert not (tr & no)
+
+
+def test_fanout_doc_level_predicate(spark, two_collection_feed):
+    """Subscription.predicate = the reference's TODO'd document filter
+    (pkg/client/client.go:397-398): a predicate on an always-present
+    column narrows the subscription to matching events only."""
+    base, feed, ch = two_collection_feed
+    hot = ch.filter(F.col("conv_id") == "c000000")
+    assert hot.count() > 0
+    subs = [Subscription("s_hot", predicate="conv_id = 'c000000'")]
+    _, sink = run_fanout_pipeline(
+        spark, feed, f"{base}/pred", f"{base}/predck", subs, n_buckets=4,
+    )
+    got_keys = {(r["conv_id"], r["turn_idx"]) for r in sink.read("s_hot").collect()}
+    assert got_keys and all(k[0] == "c000000" for k in got_keys)
+    # equals the batch golden over the same filtered events
+    from aktuell_spark.operators.cdc import latest_image
+
+    want_keys = {
+        (r["conv_id"], r["turn_idx"]) for r in latest_image(hot).collect()
+    }
+    assert got_keys == want_keys
+
+
+def test_fanout_restart_is_noop(spark, two_collection_feed):
+    base, feed, _ = two_collection_feed
+    subs = [Subscription("a", collection="transcripts"),
+            Subscription("b", collection="notes")]
+    _, sink = run_fanout_pipeline(
+        spark, feed, f"{base}/re", f"{base}/reck", subs, n_buckets=4,
+    )
+    before = {n: sorted(map(tuple, sink.read(n).collect())) for n in ("a", "b")}
+    _, sink2 = run_fanout_pipeline(
+        spark, feed, f"{base}/re", f"{base}/reck", subs, n_buckets=4,
+    )
+    after = {n: sorted(map(tuple, sink2.read(n).collect())) for n in ("a", "b")}
+    assert after == before
+
+
+def test_fanout_validates_subscriptions(spark, two_collection_feed):
+    base, feed, _ = two_collection_feed
+    cfg = EngineConfig(databases={"aktuell": ["transcripts"]})
+    with pytest.raises(ValueError, match="invalid subscription"):
+        run_fanout_pipeline(
+            spark, feed, f"{base}/v", f"{base}/vck",
+            [Subscription("bad", database="aktuell", collection="secrets")],
+            config=cfg,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        run_fanout_pipeline(
+            spark, feed, f"{base}/v2", f"{base}/v2ck",
+            [Subscription("x"), Subscription("x")],
+        )
