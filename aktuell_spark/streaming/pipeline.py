@@ -99,8 +99,13 @@ def run_cdc_pipeline(
     await_termination: bool = True,
     enrich: bool = False,
     partial_updates: bool = False,
+    trigger: dict | None = None,
 ):
-    """Run the CDC pipeline with an availableNow trigger (bounded replay).
+    """Run the CDC pipeline; default trigger is availableNow (bounded
+    replay). Pass ``trigger={"processingTime": "2 seconds"}`` for the
+    forever-running tail the reference operates as
+    (/root/reference/pkg/sync/database.go:97-121) — combine with
+    ``await_termination=False`` and stop the query yourself.
 
     Restart with the same ``checkpoint_dir`` resumes from committed
     offsets — the upgrade over the reference's resume-less reconnect
@@ -151,7 +156,7 @@ def run_cdc_pipeline(
     query = (
         stream.writeStream.foreachBatch(table.foreach_batch())
         .option("checkpointLocation", os.path.join(checkpoint_dir))
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
     if await_termination:

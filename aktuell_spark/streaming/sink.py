@@ -43,6 +43,10 @@ Exactly-once protocol:
 - deletes persist as tombstones (op='delete' rows) so a duplicate of an
   older update replayed in a later epoch cannot resurrect a deleted key;
   ``read()`` filters tombstones.
+
+Isolation caveat (parquet stand-in only): a concurrent ``read()`` racing
+the swap of a live epoch can observe a torn view and should retry;
+Iceberg readers pin a table snapshot (MVCC) and don't have this window.
 """
 
 from __future__ import annotations
