@@ -73,6 +73,31 @@ def knn_bruteforce(
     )
 
 
+DEFAULT_TARGET_BUCKET = 64
+DEFAULT_MAX_BUCKET = 256
+
+
+def adaptive_n_planes(
+    n_vectors: int,
+    target_bucket_size: int = DEFAULT_TARGET_BUCKET,
+    min_planes: int = 8,
+    max_planes: int = 24,
+) -> int:
+    """Plane count that keeps expected bucket size ~target.
+
+    The in-bucket self-join costs Σ|bucket|² ≈ N²/2^planes; holding
+    |bucket| ≈ target makes that Σ ≈ N·target — LINEAR in corpus size.
+    8 planes is right up to ~16k vectors; 10^9 vectors want ~24 (the
+    round-1 fixed 8 was quadratic at scale — this is the fix).
+    """
+    import math
+
+    if n_vectors <= 0:
+        return min_planes
+    need = math.ceil(math.log2(max(n_vectors / target_bucket_size, 1)))
+    return max(min_planes, min(max_planes, need))
+
+
 def sign_bucket(vec_col, n_planes: int = 8):
     """LSH bucket key: sign bits of the first n_planes dimensions,
     packed little-endian into an int. Axis-aligned hyperplanes — fully
@@ -85,28 +110,55 @@ def sign_bucket(vec_col, n_planes: int = 8):
     return bucket
 
 
-def knn_lsh(
-    emb: DataFrame,
-    k: int = 5,
-    n_planes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """All-pairs ANN: top-k cosine neighbors per vector *within its LSH
-    bucket* (IVF-cell approximation of the kNN graph).
-
-    Output: (query_id, neighbor_id, rank, sim). Recall < 1 by design;
-    the bucket join replaces the O(N²) cross product with Σ|bucket|².
-    """
-    b = emb.select(
+def _bucketed(emb: DataFrame, id_col: str, vec_col: str, n_planes: int) -> DataFrame:
+    return emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
-    a, c = b.alias("a"), b.alias("c")
+
+
+def _capped_candidates(b: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Neighbor-side per-bucket cap: only the first ``max_bucket_size``
+    vectors of a bucket (deterministic: lowest ids) serve as candidates.
+
+    This bounds a skewed bucket's join fan-out to |bucket|·cap instead
+    of |bucket|² — the skew backstop on top of adaptive plane count.
+    The rank window shuffles once on bucket (the same partitioning the
+    candidate join needs anyway).
+    """
+    w = Window.partitionBy("bucket").orderBy(F.col("id").asc())
+    return (
+        b.withColumn("_rib", F.row_number().over(w))
+        .filter(F.col("_rib") <= max_bucket_size)
+        .drop("_rib")
+    )
+
+
+def knn_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """All-pairs ANN: top-k cosine neighbors per vector *within its LSH
+    bucket* (IVF-cell approximation of the kNN graph).
+
+    Output: (query_id, neighbor_id, rank, sim). Recall < 1 by design.
+    ``n_planes=None`` adapts to the corpus size (one count action) so
+    the in-bucket join stays ~N·target_bucket instead of N²/2^planes;
+    ``max_bucket_size`` caps a skewed bucket's candidate side on top.
+    """
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count())
+    b = _bucketed(emb, id_col, vec_col, n_planes)
+    c = _capped_candidates(b, max_bucket_size)
     scored = (
-        a.join(
-            c,
+        b.alias("a")
+        .join(
+            c.alias("c"),
             (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") != F.col("c.id")),
         )
         .select(
@@ -120,4 +172,37 @@ def knn_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): candidate
+    pairs from sign-bucket LSH cells, kept when cosine >= threshold.
+
+    Same scale guards as ``knn_lsh``: adaptive plane count + capped
+    candidate side. Output: (vec_a, vec_b, sim) with vec_a < vec_b.
+    """
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count())
+    b = _bucketed(emb, id_col, vec_col, n_planes)
+    c = _capped_candidates(b, max_bucket_size)
+    return (
+        b.alias("a")
+        .join(
+            c.alias("c"),
+            (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") < F.col("c.id")),
+        )
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("c.id").alias("vec_b"),
+            F.round(cosine(F.col("a.vec"), F.col("c.vec")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
     )

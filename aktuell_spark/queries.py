@@ -642,33 +642,47 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
+# the driver corpus is 500-2000 vectors, where the adaptive plane
+# formula (similarity.adaptive_n_planes) resolves to its 8-plane floor —
+# pinned here so the static SQL oracle buckets identically. At real
+# scale the engine raises planes with N (tested in test_ann_scale.py).
+ANN_PLANES_AT_TEST_SF = 8
+ANN_MAX_BUCKET = 256
+
+
+def _sign_bucket_sql(n_planes: int) -> str:
+    return "\n       + ".join(
+        f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+
+
 def q_knn_lsh(spark, sf_dir):
     """LSH-bucketed ANN: top-3 in-bucket cosine neighbors per vector
-    (sign bits of first 8 dims as IVF-style cells)."""
+    (sign-bit IVF cells, adaptive plane count, capped candidate side)."""
     from aktuell_spark.functions.similarity import knn_lsh
 
     emb = load(spark, sf_dir, "embeddings")
-    return knn_lsh(emb, k=3)
+    return knn_lsh(emb, k=3, max_bucket_size=ANN_MAX_BUCKET)
 
 
-SQL_KNN_LSH = """
+SQL_KNN_LSH = f"""
 WITH b AS (
   SELECT vec_id, embedding,
-         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
-       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-       + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
-       + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+         {_sign_bucket_sql(ANN_PLANES_AT_TEST_SF)} AS bucket
   FROM embeddings
+),
+c AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS rib
+    FROM b
+  ) WHERE rib <= {ANN_MAX_BUCKET}
 ),
 scored AS (
   SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(list_cosine_similarity(a.embedding::DOUBLE[],
                                       c.embedding::DOUBLE[]), 6) AS sim
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+  FROM b a JOIN c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
 )
 SELECT query_id, neighbor_id, rank, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -857,43 +871,31 @@ QUERIES.update(
 
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family): candidate
-    pairs from sign-bucket LSH cells, kept when cosine >= 0.4 (no planted near-dups in this corpus; 0.4 captures the same-label tail)."""
-    from aktuell_spark.functions.similarity import cosine, sign_bucket
+    pairs from sign-bucket LSH cells (adaptive planes + capped candidate
+    side), kept when cosine >= 0.4 (no planted near-dups in this corpus;
+    0.4 captures the same-label tail)."""
+    from aktuell_spark.functions.similarity import embedding_near_dup_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    b = emb.select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
-        sign_bucket(F.col("embedding"), 8).alias("bucket"),
-    )
-    a, c = b.alias("a"), b.alias("c")
-    return (
-        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") < F.col("c.id")))
-        .select(
-            F.col("a.id").alias("vec_a"),
-            F.col("c.id").alias("vec_b"),
-            F.round(cosine(F.col("a.vec"), F.col("c.vec")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.4)
-    )
+    return embedding_near_dup_pairs(emb, threshold=0.4, max_bucket_size=ANN_MAX_BUCKET)
 
 
-SQL_EMBEDDING_NEAR_DUP = """
+SQL_EMBEDDING_NEAR_DUP = f"""
 WITH b AS (
   SELECT vec_id, embedding,
-         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
-       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-       + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
-       + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+         {_sign_bucket_sql(ANN_PLANES_AT_TEST_SF)} AS bucket
   FROM embeddings
+),
+c AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS rib
+    FROM b
+  ) WHERE rib <= {ANN_MAX_BUCKET}
 )
 SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],
                                     c.embedding::DOUBLE[]), 6) AS sim
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+FROM b a JOIN c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    c.embedding::DOUBLE[]), 6) >= 0.4
 """

@@ -1,0 +1,107 @@
+"""ANN scale guards: adaptive plane count keeps buckets ~constant-size
+(linear total join work), the per-bucket cap bounds skew, and recall on
+planted duplicates survives the tighter bucketing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aktuell_spark.functions.similarity import (
+    adaptive_n_planes,
+    embedding_near_dup_pairs,
+    knn_lsh,
+    sign_bucket,
+)
+
+
+def test_adaptive_n_planes_formula():
+    assert adaptive_n_planes(500) == 8          # small corpus → floor
+    assert adaptive_n_planes(2000) == 8         # driver sf0.1 → floor
+    assert adaptive_n_planes(1_000_000) == 14   # ~64/bucket
+    assert adaptive_n_planes(10**9) == 24       # capped
+    # invariant: expected bucket size stays ~target until the cap
+    for n in (10**5, 10**6, 10**7):
+        p = adaptive_n_planes(n)
+        assert n / 2**p <= 64 * 1.01
+
+
+def _synthetic_corpus(spark, n=4096, dim=16, seed=5):
+    """Deterministic pseudo-random vectors with comfortably nonzero
+    components (sign bits are stable under small perturbation)."""
+    base = spark.range(n).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64(F.col("id"), j, F.lit(seed)), F.lit(2000)) - 1000)
+                / F.lit(1000.0)
+            ).cast("float")
+            + F.when(
+                F.pmod(F.xxhash64(F.col("id"), j, F.lit(seed + 1)), F.lit(2)) == 0,
+                F.lit(0.25),
+            ).otherwise(F.lit(-0.25)),
+        ).alias("embedding"),
+    )
+    return base
+
+
+def test_planted_duplicate_recall_with_adaptive_planes(spark):
+    """4096 vectors + 64 planted exact duplicates: adaptive bucketing
+    (here >8 planes would trigger only past 16k — force 10) must still
+    put every duplicate pair in one bucket → recall 1.0 on duplicates."""
+    corpus = _synthetic_corpus(spark, n=4096)
+    dup_src = corpus.filter(F.col("vec_id") < 64)
+    dups = dup_src.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    emb = corpus.unionByName(dups)
+
+    pairs = embedding_near_dup_pairs(emb, threshold=0.999, n_planes=10)
+    found = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    planted = {(i, i + 100_000) for i in range(64)}
+    recall = len(found & planted) / len(planted)
+    assert recall == 1.0, f"duplicate recall {recall} < 1.0"
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    """In-bucket top-k agrees with brute force for planted duplicates:
+    the duplicate is each query's true nearest neighbor and must appear
+    at rank 1 despite bucketing + cap."""
+    corpus = _synthetic_corpus(spark, n=2048)
+    dups = corpus.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    emb = corpus.unionByName(dups)
+    top = knn_lsh(emb, k=1, n_planes=9).filter(F.col("query_id") < 32)
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    hits = sum(1 for q, nb in got.items() if nb == q + 100_000)
+    assert hits / 32 >= 0.95, f"planted-NN recall {hits}/32"
+
+
+def test_bucket_cap_bounds_skewed_join(spark):
+    """Worst-case skew: every vector in one orthant → one bucket. The
+    candidate side must be capped, so each query scores at most
+    max_bucket_size candidates instead of N."""
+    n, cap = 600, 50
+    emb = spark.range(n).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: (
+                0.5
+                + F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)) / F.lit(4000.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    # all positive components → single sign bucket
+    n_buckets = emb.select(sign_bucket(F.col("embedding"), 8).alias("b")).distinct().count()
+    assert n_buckets == 1
+
+    out = knn_lsh(emb, k=n, n_planes=8, max_bucket_size=cap)
+    per_query = out.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    assert per_query <= cap, f"query scored {per_query} candidates > cap {cap}"
+    # capped candidates are the lowest ids (deterministic)
+    nbs = {r["neighbor_id"] for r in out.collect()}
+    assert max(nbs) <= cap  # ids 0..cap-1 only (minus self-matches)
