@@ -47,6 +47,7 @@ def bootstrap_snapshot(
     table_root: str,
     opts: SnapshotOptions | None = None,
     n_buckets: int = 32,
+    enrich: bool = False,
 ) -> BucketedUpsertTable:
     """Seed the materialized table from a bounded snapshot scan.
 
@@ -56,12 +57,26 @@ def bootstrap_snapshot(
     array. Seqs must be unique, not a constant: the sink's redelivery
     dedupe is dropDuplicates(seq), and a constant would collapse the
     whole snapshot to one row.
+
+    ``enrich`` must match the tail pipeline's flag: an enriched tail
+    reads the enriched state columns back from the seeded parquet, so
+    the seed has to materialize them too (same schema, same functions).
     """
-    table = BucketedUpsertTable(spark, table_root, n_buckets=n_buckets)
     snap = snapshot_scan(base_table, opts or SnapshotOptions())
     seeded = snap.select(*PAYLOAD_COLS).withColumn(
         "seq", (F.lit(-1) - F.monotonically_increasing_id()).cast("long")
     ).withColumn("op", F.lit("insert"))
+    if enrich:
+        from aktuell_spark.streaming.pipeline import ENRICHED_EXTRA_COLS, enrich_turns
+
+        seeded = enrich_turns(seeded)
+        table = BucketedUpsertTable(
+            spark, table_root, n_buckets=n_buckets,
+            payload=(*PAYLOAD_COLS, *ENRICHED_EXTRA_COLS),
+            payload_schema=seeded.schema,
+        )
+    else:
+        table = BucketedUpsertTable(spark, table_root, n_buckets=n_buckets)
     table.merge_batch(seeded, epoch_id=-1)
     return table
 
@@ -84,7 +99,10 @@ def snapshot_then_tail(
     # pmod(hash(key), n_buckets), so a mismatch would place the same key
     # in two bucket dirs and duplicate it on read
     n_buckets = pipeline_kwargs.get("n_buckets", 32)
-    table = bootstrap_snapshot(spark, base_table, table_root, opts, n_buckets=n_buckets)
+    table = bootstrap_snapshot(
+        spark, base_table, table_root, opts, n_buckets=n_buckets,
+        enrich=pipeline_kwargs.get("enrich", False),
+    )
     query, table = run_cdc_pipeline(
         spark, feed_dir, table_root, checkpoint_dir, **pipeline_kwargs
     )

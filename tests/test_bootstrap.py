@@ -50,3 +50,31 @@ def test_subscription_validation(spark):
     assert not cfg.is_valid_subscription("aktuell", "nope")
     assert cfg.is_valid_subscription("open", "anything")  # empty list = all
     assert not cfg.is_valid_subscription("unknown", "transcripts")
+
+
+def test_snapshot_then_tail_with_enrichment(spark, tmp_path):
+    """Round-1 bug: an enriched tail read enriched state columns that the
+    seed never wrote → AnalysisException on the first micro-batch. The
+    seed now materializes the same enriched payload."""
+    from aktuell_spark.streaming.pipeline import enrich_turns
+
+    base = gen_transcripts(spark, n_convs=12, avg_turns=5, hot_turns=10, seed=47)
+    changes = gen_transcript_changes(base, seed=47).localCheckpoint()
+    feed = str(tmp_path / "feed")
+    write_change_feed(changes.filter(F.col("op") != "insert"), feed, n_files=2)
+
+    _, table = snapshot_then_tail(
+        spark, base, feed,
+        str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        n_buckets=4, enrich=True,
+    )
+    got = table.read()
+    assert {"n_tokens", "quality_score", "fingerprint"} <= set(got.columns)
+    # oracle = fold the tail over the base state (NOT latest_image of all
+    # changes: ~2% of insert events carry a late-shifted ts that the
+    # snapshot seed — taken from the base table — never saw)
+    from aktuell_spark.operators.cdc import apply_batch_to_state
+
+    folded = apply_batch_to_state(base, changes.filter(F.col("op") != "insert"))
+    expected = enrich_turns(folded).select(*got.columns)
+    assert_df_equal(got, expected)
