@@ -184,32 +184,160 @@ class BucketedUpsertTable:
         if self.partial_updates:
             self._merge_with_partials(batch_df, epoch_id, t0)
             return
-        batch = batch_df.select(*self.state_cols).withColumn(
-            "bucket", self._bucket_col()
-        ).persist()
-        # one driver action yields the touched-bucket set (dir-level
-        # pruning), the batch row count (lineage), and any collection-op
-        # seqs (drop/rename)
-        touched, n_rows, drop_floor = self._batch_stats(batch, epoch_id)
-        if not touched:
-            batch.unpersist()
-            self._commit(epoch_id, rows=0, buckets=[], t0=t0)
-            return
-
-        ev = self._filter_collection_ops(batch, drop_floor)
-        existing = self._read_raw(buckets=touched)
-        if existing is not None and drop_floor is not None:
-            existing = existing.filter(F.col(self.order_col) > drop_floor)
-        # single collapse over (existing state ∪ batch events): one row
-        # per key, newest seq wins — in-batch insert→update→delete
-        # chains and the cross-epoch MERGE fold in the same shuffle.
+        # ---- job 1 (often the ONLY Spark job of the epoch): filter the
+        # stored drop floor, collapse in-batch chains, write bucketed tmp.
+        # Touched buckets, row counts and collection-op markers then come
+        # FREE from the written files (dir listing + parquet footers) —
+        # no separate driver action, no cache of the raw batch.
         # No dropDuplicates(seq) pre-pass: redelivered events carry the
         # same (key, seq, payload), so the max_by collapse already picks
         # exactly one of them — an explicit dedupe would only add a
         # second full shuffle (measured ~half the merge cost).
-        src = ev if existing is None else existing.unionByName(ev)
-        merged = collapse_last_writer_wins(src, key=self.key, order_col=self.order_col)
-        self._write_and_swap(merged, batch, touched, n_rows, epoch_id, t0)
+        floor = self.drop_floor()
+        op = F.col("op")
+        b = batch_df.select(*self.state_cols)
+        if floor is not None:
+            b = b.filter(F.col(self.order_col) > floor)
+        marker = op.isin("drop", "rename")
+        b = b.withColumn(
+            "bucket", F.when(marker, F.lit(-1)).otherwise(self._bucket_col())
+        ).withColumn(
+            # markers collapse per op (not per sentinel key): a batch may
+            # carry both a drop and a rename and must keep both
+            "_mk", F.when(marker, op).otherwise(F.lit(""))
+        )
+        collapsed = collapse_last_writer_wins(
+            b, key=(*self.key, "_mk"), order_col=self.order_col
+        ).drop("_mk")
+        tmp = os.path.join(self.root, f"_tmp-epoch-{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            collapsed.repartition(self._write_parallelism(self.n_buckets), "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+
+        touched, n_rows, batch_drop = self._tmp_stats(tmp, epoch_id)
+        new_floor = self._advance_drop_floor(batch_drop)
+        if not touched and batch_drop is None:
+            shutil.rmtree(tmp, ignore_errors=True)
+            self._commit(epoch_id, rows=0, buckets=[], t0=t0)
+            return
+        present = set(self._present_buckets())
+        all_touched = (
+            sorted(set(touched) | present) if batch_drop is not None else touched
+        )
+        if not all_touched:  # pure-marker batch into an empty table
+            shutil.rmtree(tmp, ignore_errors=True)
+            self._commit(epoch_id, rows=0, buckets=[], t0=t0)
+            return
+
+        if (set(all_touched) & present) or batch_drop is not None:
+            # ---- job 2 (only when existing buckets overlap or a drop
+            # arrived): fold existing state in. Reads the already-
+            # collapsed tmp (smaller than the raw batch), one keyed
+            # shuffle over (existing ∪ batch) — in-batch chains and the
+            # cross-epoch MERGE fold together.
+            tmp_data = self._read_tmp(tmp, touched) if touched else None
+            existing = self._read_raw(buckets=all_touched)
+            if tmp_data is None and existing is None:  # unreachable: all_touched nonempty
+                shutil.rmtree(tmp, ignore_errors=True)
+                self._commit(epoch_id, rows=0, buckets=[], t0=t0)
+                return
+            if tmp_data is None:
+                src = existing
+            elif existing is None:
+                src = tmp_data
+            else:
+                src = existing.unionByName(tmp_data)
+            if new_floor is not None:
+                src = src.filter(F.col(self.order_col) > new_floor)
+            merged = collapse_last_writer_wins(
+                src, key=self.key, order_col=self.order_col
+            )
+            tmp2 = tmp + ".merged"
+            shutil.rmtree(tmp2, ignore_errors=True)
+            (
+                merged.repartition(self._write_parallelism(len(all_touched)), "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(tmp2)
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+            tmp = tmp2
+            n_rows = self._parquet_rows(tmp)
+        self._swap_and_commit(tmp, all_touched, n_rows, epoch_id, t0)
+
+    def _write_parallelism(self, n: int) -> int:
+        """Task count for bucketed writes: one-task-per-bucket up to a
+        multiple of the cluster's parallelism (a task holding several
+        buckets still writes exactly one file per bucket dir)."""
+        cores = self.spark.sparkContext.defaultParallelism
+        return max(1, min(n, cores * 4))
+
+    def _read_tmp(self, tmp: str, buckets: list[int]) -> DataFrame:
+        paths = [os.path.join(tmp, f"bucket={b}") for b in buckets]
+        return self.spark.read.option("basePath", tmp).parquet(*paths).select(
+            *self.state_cols, "bucket"
+        )
+
+    def _tmp_stats(self, tmp: str, epoch_id: int):
+        """Epoch stats read back from the tmp write — dir listing for the
+        touched set, parquet footers (metadata only, no Spark job) for
+        row counts, and the tiny ``bucket=-1`` marker dir for
+        collection-op seqs (drop/rename)."""
+        touched, n_rows, batch_drop, rename_seq = [], 0, None, None
+        if not os.path.isdir(tmp):
+            return touched, n_rows, batch_drop
+        import pyarrow.parquet as pq
+
+        for entry in sorted(os.listdir(tmp)):
+            if not entry.startswith("bucket="):
+                continue
+            bdir = os.path.join(tmp, entry)
+            bucket = int(entry.split("=", 1)[1])
+            nb = sum(
+                pq.read_metadata(os.path.join(bdir, f)).num_rows
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+            if bucket == -1:
+                # marker rows: at most one drop + one rename post-collapse
+                for f in os.listdir(bdir):
+                    if not f.endswith(".parquet"):
+                        continue
+                    t = pq.read_table(os.path.join(bdir, f), columns=["op", self.order_col])
+                    for o, s in zip(t.column("op").to_pylist(), t.column(self.order_col).to_pylist()):
+                        if o == "drop":
+                            batch_drop = s if batch_drop is None else max(batch_drop, s)
+                        elif o == "rename":
+                            rename_seq = s if rename_seq is None else max(rename_seq, s)
+            else:
+                touched.append(bucket)
+                n_rows += nb
+        if rename_seq is not None:
+            # rename preserves documents (Mongo semantics); record it as
+            # lineage — routing changes fall out of subscription_filter
+            # because later events carry the new collection name
+            with open(os.path.join(self.metrics_dir, f"rename-{epoch_id}.json"), "w") as f:
+                json.dump({"epoch": epoch_id, "rename_seq": rename_seq}, f)
+        return touched, n_rows, batch_drop
+
+    def _parquet_rows(self, root: str) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for entry in os.listdir(root):
+            bdir = os.path.join(root, entry)
+            if not (entry.startswith("bucket=") and os.path.isdir(bdir)):
+                continue
+            total += sum(
+                pq.read_metadata(os.path.join(bdir, f)).num_rows
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+        return total
 
     # -- collection-level ops (drop/rename, reference op enum:
     # /root/reference/pkg/models/types.go:101-108) ----------------------
@@ -341,12 +469,17 @@ class BucketedUpsertTable:
         # one output file per bucket dir; buckets are small by design
         (
             merged.select(*self.state_cols, "bucket")
-            .repartition(max(len(touched), 1), "bucket")
+            .repartition(self._write_parallelism(max(len(touched), 1)), "bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(tmp)
         )
         cached.unpersist()
+        self._swap_and_commit(tmp, touched, n_rows, epoch_id, t0)
+
+    def _swap_and_commit(
+        self, tmp: str, touched: list[int], n_rows: int, epoch_id: int, t0: float
+    ) -> None:
         # crash-safe swap: live bucket moves aside BEFORE the new one
         # moves in; a crash at any point leaves either image restorable
         # (_recover), never a missing bucket whose only copy was _tmp
