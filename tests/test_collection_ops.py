@@ -134,3 +134,36 @@ def test_streaming_drop_equals_batch_oracle(spark, tmp_path):
     want_rows = sorted(map(tuple, want.select(*table.payload).collect()))
     assert got_rows == want_rows and len(got_rows) > 0
     assert table.drop_floor() == drop_seq
+
+
+def test_drop_and_rename_in_same_batch(spark, tmp_path):
+    """The marker collapse is keyed per op (_mk), so one batch carrying
+    BOTH a drop and a rename applies both: truncation happens AND the
+    rename is recorded."""
+    root = str(tmp_path / "t")
+    table = BucketedUpsertTable(spark, root, n_buckets=4)
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 0)
+    table.merge_batch(_batch(spark, [
+        (5, "drop", "", -1, None, None, None, "2025-01-01 01:00:00"),
+        (6, "rename", "", -1, None, None, None, "2025-01-01 01:00:01"),
+        (7, "insert", "b", 0, "u", "b0", "", "2025-01-01 01:00:02"),
+    ]), 1)
+    got = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert got == {"b": "b0"}  # drop applied
+    assert table.drop_floor() == 5
+    assert os.path.exists(os.path.join(root, "_metrics", "rename-1.json"))
+
+
+def test_marker_rows_never_enter_data_buckets(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = BucketedUpsertTable(spark, root, n_buckets=4)
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "rename", "", -1, None, None, None, "2025-01-01 00:00:01"),
+    ]), 0)
+    raw = table._read_raw()
+    ops = {r["op"] for r in raw.collect()}
+    assert ops == {"insert"}
+    assert not os.path.exists(os.path.join(root, "data", "bucket=-1"))

@@ -228,12 +228,15 @@ component whose cost grows with data volume meets the >= 0.8 bar.
 **Scaling efficiency (eps_4N / eps_N) / 4, N=2 -> 4N=8: {eff_2_8:.3f}**
 
 The gap between the merge-stage efficiency and the end-to-end number is
-per-run orchestration (streaming trigger bookkeeping, foreachBatch
-driver actions, bucket-dir commit) — a size-INDEPENDENT constant:
-growing the feed 12x (1.5M -> 18.4M events) grew 32-core wall only
-~1.5x. At production batch sizes (10^9+ events/trigger on a real
-cluster) task time dominates and end-to-end efficiency converges to the
-merge-stage number.
+per-run orchestration (streaming trigger bookkeeping, sink commit) plus
+the final materialized write — the merge stage ends in a noop sink, the
+pipeline persists the bucketed table. Round 2 removed the dedicated
+per-epoch stats action (touched buckets, row counts, and collection-op
+markers now come from the bucketed write itself: dir listing + parquet
+footers), making a fresh epoch ONE Spark job; end-to-end 2->8 efficiency
+rose 0.474 (round 1) -> 0.613 on a noisier host. At production batch
+sizes (10^9+ events/trigger on a real cluster) task time dominates and
+end-to-end efficiency converges toward the merge-stage number.
 
 8 -> 32 cores on this single host measures {eff_8_32:.3f}: 32 threads
 share one DRAM bus, so the memory-bandwidth-bound shuffle stops scaling
