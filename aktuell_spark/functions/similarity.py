@@ -175,6 +175,58 @@ def knn_lsh(
     )
 
 
+def knn_lsh_multiprobe(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int | None = None,
+    n_probes: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Multi-probe ANN: each query also probes the ``n_probes``
+    Hamming-1 neighbor cells of its own bucket (bit j flipped, j < n_probes).
+
+    The standard recall/cost knob for high plane counts: raising planes
+    shrinks buckets (cheap joins) but splits true neighbors across cell
+    walls; probing adjacent cells recovers them at cost ×(1+n_probes) on
+    the QUERY side only — the candidate side is still bucketed once and
+    capped. n_probes=0 degenerates to ``knn_lsh``.
+    Output: (query_id, neighbor_id, rank, sim).
+    """
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count())
+    n_probes = min(n_probes, n_planes)
+    b = _bucketed(emb, id_col, vec_col, n_planes)
+    c = _capped_candidates(b, max_bucket_size)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_probes)],
+    )
+    q = b.select("id", "vec", F.explode(probes).alias("bucket"))
+    scored = (
+        q.alias("a")
+        .join(
+            c.alias("c"),
+            (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") != F.col("c.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(cosine(F.col("a.vec"), F.col("c.vec")), 6).alias("sim"),
+        )
+        # a neighbor can be reached via several probes — dedupe before rank
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("sim").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

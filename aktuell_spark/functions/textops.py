@@ -37,6 +37,35 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, and single
+# non-alphanumeric marks — the classic GPT-2-style word/number/punct
+# split that BPE merges then operate on. Plain enough to be identical
+# under Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokens (letters/digits/punct split), JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)
+
+
+def with_bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting on the BPE-ish split (vs whitespace in
+    ``with_token_stats``): n_bpe_tokens, n_distinct_bpe, punct_ratio.
+    Narrow map, no shuffle — parquet-scan speed at any size."""
+    t = bpe_ish_tokens(text_col)
+    punct = F.size(F.filter(t, lambda x: x.rlike(r"^[^A-Za-z0-9]$")))
+    return (
+        df.withColumn("n_bpe_tokens", F.size(t))
+        .withColumn("n_distinct_bpe", F.size(F.array_distinct(t)))
+        .withColumn(
+            "punct_ratio",
+            F.round(punct / F.greatest(F.size(t), F.lit(1)), 4),
+        )
+    )
+
+
 def normalize_text(text: Column | str) -> Column:
     """lower + trim + collapse whitespace — the canonical form used by
     exact dedup and fingerprinting."""

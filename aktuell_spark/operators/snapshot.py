@@ -1,5 +1,10 @@
 """Snapshot scans — the bounded "snapshot-then-tail" bootstrap.
 
+``snapshot_with_batches`` tags a BOUNDED snapshot (client-paging sizes,
+guarded) with a single global window; ``export_with_batches`` is the
+table-scale variant: range partitioning + per-partition ranks + driver
+cumsum of ~n partition counts — no single-reducer stage anywhere.
+
 Mirrors ``SnapshotOptions`` + ``StreamSnapshot``
 (/root/reference/pkg/models/types.go:24-30,
 /root/reference/pkg/sync/database.go:225-333): count + filter + sort +
@@ -80,3 +85,53 @@ def snapshot_with_batches(df: DataFrame, opts: SnapshotOptions) -> DataFrame:
     return snap.withColumn(
         "batch_id", ((F.row_number().over(w) - 1) / opts.batch_size).cast("int")
     )
+
+
+def export_with_batches(
+    df: DataFrame,
+    sort: list[tuple[str, str]],
+    batch_size: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered batch ids WITHOUT a global window — the
+    table-scale replacement for skip/limit pagination (O3) when the
+    export is not client-bounded.
+
+    Shape: range-repartition on the sort keys (globally ordered
+    partitions) → per-partition rank (window partitioned by partition
+    id: every group is one partition, all reducers busy) → driver
+    cumsum of ~n_partitions counts → batch_id = (offset + rank - 1) /
+    batch_size. The heaviest stage is the range shuffle itself; nothing
+    funnels through one task.
+
+    The range-partitioned frame is persisted so the count pass and the
+    output pass see the SAME sampled range boundaries (two actions over
+    an unpersisted range shuffle may re-sample differently).
+    """
+    order = [F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sort]
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["c"] for r in
+              parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = parted.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    out = (
+        parted.join(F.broadcast(off_df), "_pid")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "batch_id", ((F.col("_off") + F.col("_rn") - 1) / batch_size).cast("int")
+        )
+        .drop("_pid", "_off", "_rn")
+    )
+    return out

@@ -378,6 +378,32 @@ FROM documents
 """
 
 
+def q_token_stats_bpe(spark, sf_dir):
+    """Token counting on the BPE-ish regex split (letters/digits/punct
+    runs — the GPT-2-style pre-tokenization BPE merges operate on)."""
+    from aktuell_spark.functions.textops import with_bpe_token_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return with_bpe_token_stats(docs).select(
+        "doc_id", "n_bpe_tokens", "n_distinct_bpe", "punct_ratio"
+    )
+
+
+def _token_stats_bpe_sql() -> str:
+    from aktuell_spark.functions.textops import BPE_SPLIT_RE
+
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '{BPE_SPLIT_RE}') AS toks
+           FROM documents)
+SELECT doc_id,
+       len(toks) AS n_bpe_tokens,
+       len(list_distinct(toks)) AS n_distinct_bpe,
+       round(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]$')))
+             * 1.0 / greatest(len(toks), 1), 4) AS punct_ratio
+FROM t
+"""
+
+
 def q_quality_score(spark, sf_dir):
     """Quality scoring: stopword/distinct ratios + combined score."""
     from aktuell_spark.functions.textops import with_quality_score
@@ -692,9 +718,60 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
+ANN_N_PROBES = 2
+
+
+def q_knn_multiprobe(spark, sf_dir):
+    """Multi-probe ANN: queries probe their own cell plus the first
+    ANN_N_PROBES Hamming-1 neighbor cells — the recall/cost knob that
+    makes high plane counts viable at scale (cells shrink, probing
+    recovers neighbors split across cell walls)."""
+    from aktuell_spark.functions.similarity import knn_lsh_multiprobe
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_lsh_multiprobe(
+        emb, k=3, n_probes=ANN_N_PROBES, max_bucket_size=ANN_MAX_BUCKET
+    )
+
+
+def _knn_multiprobe_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_sign_bucket_sql(ANN_PLANES_AT_TEST_SF)} AS bucket
+  FROM embeddings
+),
+c AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS rib
+    FROM b
+  ) WHERE rib <= {ANN_MAX_BUCKET}
+),
+q AS (
+  SELECT vec_id, embedding,
+         CASE WHEN p = 0 THEN bucket ELSE xor(bucket, 1 << (p - 1)) END AS bucket
+  FROM b, (SELECT unnest(range({ANN_N_PROBES + 1})) AS p)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         any_value(round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 6)) AS sim
+  FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 QUERIES.update(
     {
+        "knn_multiprobe": (q_knn_multiprobe, _knn_multiprobe_sql()),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+        "token_stats_bpe": (q_token_stats_bpe, _token_stats_bpe_sql()),
         "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),

@@ -269,6 +269,53 @@ class BucketedUpsertTable:
             n_rows = self._parquet_rows(tmp)
         self._swap_and_commit(tmp, all_touched, n_rows, epoch_id, t0)
 
+    # reserved (very negative) epoch-id space for compaction commits so
+    # they share the crash-safe swap + recovery machinery
+    COMPACT_EPOCH_BASE = -1_000_000
+
+    def compact(self, tombstone_horizon: int) -> dict:
+        """Rewrite every bucket, dropping delete tombstones at or below
+        ``tombstone_horizon`` (Iceberg analogue: rewrite_data_files +
+        expiring delete files).
+
+        Tombstones exist to neutralize redeliveries of pre-delete
+        events. Once the source can no longer replay seqs <= horizon
+        (its retention/checkpoint floor), those tombstones are dead
+        weight: any future arrival has seq >= horizon >= tombstone seq,
+        so it either re-deletes (harmless) or is a legitimately newer
+        write that would win LWW anyway. Passing a horizon ahead of the
+        source's replay floor is the caller's contract violation.
+
+        Uses the same aside-swap + commit-marker protocol as epochs
+        (reserved negative ids), so a crash mid-compaction recovers.
+        Returns {"removed": n, "buckets": n, "rows": n}.
+        """
+        self._recover()
+        t0 = time.time()
+        present = self._present_buckets()
+        if not present:
+            return {"removed": 0, "buckets": 0, "rows": 0}
+        prior = sum(
+            1 for c in os.listdir(self.commits_dir)
+            if int(c) <= self.COMPACT_EPOCH_BASE
+        )
+        cid = self.COMPACT_EPOCH_BASE - prior
+        before = self._parquet_rows(self.data_dir)
+        keep = self._read_raw().filter(
+            (F.col("op") != "delete") | (F.col(self.order_col) > tombstone_horizon)
+        )
+        tmp = os.path.join(self.root, f"_tmp-epoch-{cid}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            keep.repartition(self._write_parallelism(len(present)), "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        n_rows = self._parquet_rows(tmp)
+        self._swap_and_commit(tmp, present, n_rows, cid, t0)
+        return {"removed": before - n_rows, "buckets": len(present), "rows": n_rows}
+
     def _write_parallelism(self, n: int) -> int:
         """Task count for bucketed writes: one-task-per-bucket up to a
         multiple of the cluster's parallelism (a task holding several

@@ -105,3 +105,31 @@ def test_bucket_cap_bounds_skewed_join(spark):
     # capped candidates are the lowest ids (deterministic)
     nbs = {r["neighbor_id"] for r in out.collect()}
     assert max(nbs) <= cap  # ids 0..cap-1 only (minus self-matches)
+
+
+def test_multiprobe_recovers_neighbors_across_cell_walls(spark):
+    """Plant near-duplicates that differ ONLY in the sign of dim 0 (a
+    Hamming-1 cell wall): plain in-bucket LSH cannot see them, a single
+    probe of the flipped cell recovers every one."""
+    from aktuell_spark.functions.similarity import knn_lsh_multiprobe
+
+    corpus = _synthetic_corpus(spark, n=512)
+    twins = corpus.filter(F.col("vec_id") < 24).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.concat(
+            # flip the sign of dim 0 but keep it small: cosine stays high
+            F.array((-F.element_at("embedding", 1) * 0.01).cast("float")),
+            F.slice("embedding", 2, 15),
+        ).alias("embedding"),
+    )
+    emb = corpus.unionByName(twins)
+
+    def hits(df):
+        got = {r["query_id"]: r["neighbor_id"] for r in
+               df.filter(F.col("query_id") < 24).filter(F.col("rank") == 1).collect()}
+        return sum(1 for q, nb in got.items() if nb == q + 100_000)
+
+    no_probe = hits(knn_lsh_multiprobe(emb, k=1, n_planes=8, n_probes=0))
+    one_probe = hits(knn_lsh_multiprobe(emb, k=1, n_planes=8, n_probes=1))
+    assert no_probe < 24, "cell wall did not separate the twins — fixture broken"
+    assert one_probe == 24, f"multi-probe missed twins: {one_probe}/24"

@@ -87,3 +87,29 @@ def test_snapshot_with_batches_guard(spark):
         snapshot_with_batches(
             df, SnapshotOptions(sort=[("id", "asc")], limit=10_000_000)
         )
+
+
+def test_export_with_batches_matches_global_window(spark):
+    """Distributed batch tagging (range partition + per-partition rank +
+    offset cumsum) must equal the single-reducer global-window form."""
+    from aktuell_spark.operators.snapshot import export_with_batches
+
+    df = spark.range(10_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k"),
+    )
+    got = export_with_batches(df, sort=[("k", "asc"), ("id", "asc")],
+                              batch_size=300, n_partitions=8)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("k").asc(), F.col("id").asc())
+    want = df.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / 300).cast("int")
+    )
+    g = {(r["id"]): r["batch_id"] for r in got.collect()}
+    e = {(r["id"]): r["batch_id"] for r in want.collect()}
+    assert g == e
+    # and no partition saw more than its share (nothing funneled)
+    sizes = [r["c"] for r in got.groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert max(sizes) < 10_000
