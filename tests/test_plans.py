@@ -55,3 +55,64 @@ def test_token_stats_no_shuffle(spark):
     assert count_exchanges(df) == 0, "narrow text ops must not shuffle"
     read = read_schema_columns(df)
     assert set(read) <= {"doc_id", "text"}, f"scan should read only id+text, got {read}"
+
+
+def test_bpe_token_stats_no_shuffle(spark):
+    from aktuell_spark.queries import q_token_stats_bpe
+
+    df = q_token_stats_bpe(spark, SF)
+    assert count_exchanges(df) == 0, "BPE token stats must be a narrow map"
+    read = read_schema_columns(df)
+    assert set(read) <= {"doc_id", "text"}, f"scan should read only id+text, got {read}"
+
+
+def test_multi_subscription_routing_single_scan(spark):
+    """Routing one event to N subscribers must be ONE scan + explode,
+    never N scans (the plan contains a single parquet relation)."""
+    from aktuell_spark.plans.explain import formatted_plan
+    from aktuell_spark.queries import q_multi_subscription_routing
+
+    df = q_multi_subscription_routing(spark, SF)
+    import re
+
+    plan = formatted_plan(df)
+    # detail-section nodes only ("(N) Scan parquet"), so the tree header
+    # rendering of the same node isn't double-counted
+    scans = [ln for ln in plan.splitlines() if re.match(r"^\(\d+\) Scan parquet", ln)]
+    assert len(scans) == 1, f"expected one source scan, plan has {len(scans)}"
+    assert count_exchanges(df) == 1, "routing rollup is one keyed shuffle"
+
+
+def test_knn_multiprobe_no_nested_loop(spark):
+    """The probe join must stay an equi-join on bucket — a nested-loop
+    (cartesian) join here is the N^2 failure mode."""
+    from aktuell_spark.queries import q_knn_multiprobe
+
+    df = q_knn_multiprobe(spark, SF)
+    assert "BroadcastNestedLoopJoin" not in join_strategies(df)
+
+
+def test_reconstruct_post_images_no_cartesian(spark):
+    """Partial-update reconstruction: one keyed base/deltas join, no
+    nested loops, bounded exchanges (bases agg + deltas agg + join)."""
+    from pyspark.sql import functions as F
+
+    from aktuell_spark.operators.cdc import reconstruct_post_images
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("event_id").alias("seq"),
+        F.lit("insert").alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.lit("x").alias("text"),
+        F.lit("t").alias("tool"),
+        F.lit(None).cast("map<string,string>").alias("updated_fields"),
+        F.lit(None).cast("array<string>").alias("removed_fields"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    df = reconstruct_post_images(ev)
+    assert "BroadcastNestedLoopJoin" not in join_strategies(df)
+    assert count_exchanges(df) <= 3, (
+        f"reconstruction should be <= 3 exchanges, got {count_exchanges(df)}"
+    )
