@@ -92,6 +92,31 @@ class FanoutSink:
     def read(self, name: str) -> DataFrame:
         return self.tables[name].read()
 
+    def stats(self) -> dict[str, dict]:
+        """Per-subscription sync-stats fan-in (A3 — the reference's
+        per-DB stats map, /root/reference/pkg/sync/manager.go:213-219):
+        aggregates each table's committed epoch lineage. Driver-side
+        file reads only — no Spark job."""
+        import json
+
+        out: dict[str, dict] = {}
+        for name, t in self.tables.items():
+            epochs, rows, buckets = 0, 0, set()
+            for f in os.listdir(t.metrics_dir):
+                if not (f.startswith("epoch-") and f.endswith(".json")):
+                    continue
+                with open(os.path.join(t.metrics_dir, f)) as fh:
+                    m = json.load(fh)
+                epochs += 1
+                rows += m.get("merged_rows", 0)
+                buckets.update(m.get("touched_buckets", []))
+            out[name] = {
+                "epochs": epochs,
+                "merged_rows": rows,
+                "touched_buckets": len(buckets),
+            }
+        return out
+
 
 def run_fanout_pipeline(
     spark: SparkSession,

@@ -110,3 +110,45 @@ def test_fanout_validates_subscriptions(spark, two_collection_feed):
             spark, feed, f"{base}/v2", f"{base}/v2ck",
             [Subscription("x"), Subscription("x")],
         )
+
+
+def test_fanout_per_subscription_stats(spark, two_collection_feed):
+    """A3 fan-in: per-subscription lineage aggregates from committed
+    epoch metrics (reference: per-DB stats map, manager.go:213-219)."""
+    base, feed, _ = two_collection_feed
+    subs = [Subscription("sa", collection="transcripts"),
+            Subscription("sb", collection="notes")]
+    _, sink = run_fanout_pipeline(
+        spark, feed, f"{base}/st", f"{base}/stck", subs, n_buckets=4,
+    )
+    stats = sink.stats()
+    assert set(stats) == {"sa", "sb"}
+    for name in ("sa", "sb"):
+        assert stats[name]["epochs"] >= 1
+        assert stats[name]["merged_rows"] > 0
+        assert 1 <= stats[name]["touched_buckets"] <= 4
+
+
+def test_fanout_with_partial_updates(spark, tmp_path):
+    """Fan-out composes with delta-only feeds: each subscription's table
+    reconstructs post-images independently."""
+    from aktuell_spark.streaming.fanout import FanoutSink
+
+    t = gen_transcripts(spark, n_convs=10, avg_turns=6, hot_turns=12, seed=19)
+    full = gen_transcript_changes(t, seed=19).localCheckpoint()
+    part = gen_transcript_changes(t, seed=19, partial_updates=True).localCheckpoint()
+    write_change_feed(part, f"{tmp_path}/feed", n_files=2)
+
+    sink = FanoutSink(spark, f"{tmp_path}/fan", [Subscription("all")],
+                      n_buckets=4, partial_updates=True)
+    stream = spark.readStream.schema(part.schema).parquet(f"{tmp_path}/feed")
+    q = (stream.writeStream.foreachBatch(sink.foreach_batch())
+         .option("checkpointLocation", f"{tmp_path}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    from aktuell_spark.operators.cdc import latest_image
+
+    got = sorted(map(tuple, sink.read("all").collect()))
+    want = sorted(map(tuple, latest_image(full).collect()))
+    assert got == want and len(got) > 0
