@@ -84,3 +84,105 @@ def test_lww_equals_golden_replay_and_batch_invariance(spark, ops, dup_every, cu
     state = apply_batch_to_state(state, b2)
     inc = {(r["conv_id"], r["turn_idx"]): r["text"] for r in state.collect()}
     assert inc == full
+
+
+def partial_ops_to_rows(ops):
+    """Random chains mixing full images and deltas.
+
+    op_code % 6: 0=insert, 1=full update, 2=delta set-text,
+    3=delta remove-tool, 4=delete, 5=delta set-role.
+    """
+    rows = []
+    for seq, (key_idx, op_code, payload) in enumerate(ops, start=1):
+        conv, turn = KEYS[key_idx % len(KEYS)]
+        code = op_code % 6
+        ts = T0 + dt.timedelta(seconds=seq)
+        base = (seq, "aktuell", "transcripts", conv, turn)
+        if code == 0:
+            rows.append((base[0], "insert", *base[1:], "user", f"t{payload}",
+                         f"tool{payload % 3}", None, None, ts))
+        elif code == 1:
+            rows.append((base[0], "update", *base[1:], "user", f"t{payload}",
+                         f"tool{payload % 3}", {"text": f"t{payload}"}, None, ts))
+        elif code == 2:
+            rows.append((base[0], "update", *base[1:], None, None, None,
+                         {"text": f"t{payload}"}, None, ts))
+        elif code == 3:
+            rows.append((base[0], "update", *base[1:], None, None, None,
+                         None, ["tool"], ts))
+        elif code == 4:
+            rows.append((base[0], "delete", *base[1:], None, None, None,
+                         None, None, ts))
+        else:
+            rows.append((base[0], "update", *base[1:], None, None, None,
+                         {"role": f"r{payload % 4}"}, None, ts))
+    return rows
+
+
+def golden_partial_replay(event_rows):
+    """Sequential oracle with delta application (MongoDB semantics:
+    update-without-post-image mutates an existing doc, matches nothing
+    otherwise)."""
+    state, seen = {}, set()
+    for r in sorted(event_rows, key=lambda r: r["seq"]):
+        if r["seq"] in seen:
+            continue
+        seen.add(r["seq"])
+        key = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "delete":
+            state.pop(key, None)
+        elif r["op"] == "update" and r["text"] is None and (
+            r["updated_fields"] is not None or r["removed_fields"] is not None
+        ):
+            if key not in state:
+                continue
+            doc = state[key]
+            for c in ("role", "text", "tool"):
+                if r["updated_fields"] and c in r["updated_fields"]:
+                    doc[c] = r["updated_fields"][c]
+                elif r["removed_fields"] and c in r["removed_fields"]:
+                    doc[c] = None
+            doc["ts"] = r["ts"]
+        else:
+            state[key] = {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+                          "role": r["role"], "text": r["text"],
+                          "tool": r["tool"], "ts": r["ts"]}
+    return state
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=op_strategy, cut=st.integers(1, 29))
+def test_partial_reconstruction_equals_golden_and_slicing_invariant(spark, ops, cut):
+    """For ANY mixed full/delta op sequence: (a) a two-slice sink merge
+    equals the sequential golden replay; (b) slicing position never
+    changes the result (delta whose base is in an earlier slice folds
+    onto persisted state)."""
+    import tempfile
+
+    from aktuell_spark.streaming.sink import BucketedUpsertTable
+
+    rows = partial_ops_to_rows(ops)
+    golden = golden_partial_replay([
+        dict(zip(("seq", "op", "database", "collection", "conv_id", "turn_idx",
+                  "role", "text", "tool", "updated_fields", "removed_fields",
+                  "ts"), r))
+        for r in rows
+    ])
+    df = spark.createDataFrame(rows, CHANGE_DDL)
+    cut_seq = min(cut, len(rows))
+
+    with tempfile.TemporaryDirectory() as root:
+        table = BucketedUpsertTable(spark, root, n_buckets=4, partial_updates=True)
+        table.merge_batch(df.filter(F.col("seq") <= cut_seq), 0)
+        table.merge_batch(df.filter(F.col("seq") > cut_seq), 1)
+        got = {(r["conv_id"], r["turn_idx"]): r.asDict()
+               for r in table.read().collect()}
+
+    assert set(got) == set(golden)
+    for k, exp in golden.items():
+        for c in ("role", "text", "tool", "ts"):
+            assert got[k][c] == exp[c], f"{k}.{c}: {got[k][c]!r} != {exp[c]!r}"
