@@ -27,10 +27,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_latest_image(spark, "/root/testdata/sf0.001")
 
 
-def _stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full streaming path (rows-only check): generated transcript CDC
-    feed → watermarked stream → exactly-once foreachBatch MERGE →
-    materialized table. Non-SQL-expressible (stateful streaming)."""
+def _stream_cdc(spark: SparkSession, merge_on_read: bool) -> DataFrame:
+    """Full streaming path: generated transcript CDC feed → stream →
+    exactly-once foreachBatch MERGE → materialized table."""
     from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
     from aktuell_spark.session import _ship_package
     from aktuell_spark.streaming.pipeline import run_cdc_pipeline, write_change_feed
@@ -42,7 +41,8 @@ def _stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch = gen_transcript_changes(t, seed=42).localCheckpoint()
         write_change_feed(ch, f"{base}/feed", n_files=4)
         _, table = run_cdc_pipeline(
-            spark, f"{base}/feed", f"{base}/table", f"{base}/ckpt", n_buckets=8
+            spark, f"{base}/feed", f"{base}/table", f"{base}/ckpt",
+            n_buckets=8, merge_on_read=merge_on_read,
         )
         out = table.read().localCheckpoint()  # materialize before cleanup
         return out
@@ -50,9 +50,23 @@ def _stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write streaming MERGE (rows-only check): non-SQL-
+    expressible stateful streaming."""
+    return _stream_cdc(spark, merge_on_read=False)
+
+
+def _stream_cdc_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read streaming mode (rows-only check): epochs append
+    LSM-style bucket runs, reads collapse — must materialize the exact
+    same rows as the copy-on-write path."""
+    return _stream_cdc(spark, merge_on_read=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: fn for name, (fn, _sql) in QUERIES.items()}
     out["stream_cdc_materialize"] = _stream_cdc_materialize
+    out["stream_cdc_mor"] = _stream_cdc_mor
     return out
 
 

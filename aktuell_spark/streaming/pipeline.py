@@ -100,6 +100,7 @@ def run_cdc_pipeline(
     enrich: bool = False,
     partial_updates: bool = False,
     trigger: dict | None = None,
+    merge_on_read: bool = False,
 ):
     """Run the CDC pipeline; default trigger is availableNow (bounded
     replay). Pass ``trigger={"processingTime": "2 seconds"}`` for the
@@ -147,7 +148,8 @@ def run_cdc_pipeline(
         )
     else:
         table = BucketedUpsertTable(
-            spark, table_root, n_buckets=n_buckets, partial_updates=partial_updates
+            spark, table_root, n_buckets=n_buckets,
+            partial_updates=partial_updates, merge_on_read=merge_on_read,
         )
     if dedupe == "watermark":
         stream = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(

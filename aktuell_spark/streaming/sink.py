@@ -75,6 +75,7 @@ class BucketedUpsertTable:
         payload_schema=None,
         partial_updates: bool = False,
         ts_col: str = "ts",
+        merge_on_read: bool = False,
     ) -> None:
         self.spark = spark
         self.root = root
@@ -92,6 +93,18 @@ class BucketedUpsertTable:
         # payload column must be a string column in this mode.
         self.partial_updates = partial_updates
         self.ts_col = ts_col
+        # merge_on_read: epochs APPEND per-bucket files (Iceberg/Hudi MoR,
+        # LSM-style) instead of rewriting touched buckets — per-epoch cost
+        # is O(batch) with zero read-modify-write of existing state; reads
+        # collapse across epoch files and compact() folds them back to one
+        # file per bucket. The write-heavy-CDC trade: cheapest possible
+        # ingest, read amplification bounded by compaction cadence.
+        self.merge_on_read = merge_on_read
+        if merge_on_read and partial_updates:
+            # delta application needs the prior image at SOME point; MoR
+            # defers merging, so reads would need reconstruct (and the
+            # delta columns stored). Not supported together yet.
+            raise ValueError("merge_on_read is incompatible with partial_updates")
         self.delta_cols = tuple(
             c for c in self.payload if c not in self.key and c != ts_col
         )
@@ -120,6 +133,22 @@ class BucketedUpsertTable:
             path = os.path.join(self.root, entry)
             if entry.startswith("_tmp-epoch-"):
                 shutil.rmtree(path, ignore_errors=True)
+            elif entry.startswith("_inflight-epoch-"):
+                # merge-on-read append died mid-move: delete exactly this
+                # epoch's files (prefix-named) so the replay re-appends
+                epoch = int(entry[len("_inflight-epoch-"):])
+                if not self.is_committed(epoch):
+                    with open(path) as f:
+                        marked = [int(x) for x in f.read().split(",") if x]
+                    prefix = f"epoch{epoch}-"
+                    for b in marked:
+                        bdir = os.path.join(self.data_dir, f"bucket={b}")
+                        if not os.path.isdir(bdir):
+                            continue
+                        for fn in os.listdir(bdir):
+                            if fn.startswith(prefix):
+                                os.remove(os.path.join(bdir, fn))
+                os.remove(path)
             elif entry.startswith("_aside-epoch-"):
                 epoch = int(entry[len("_aside-epoch-"):])  # may be negative
                 if not self.is_committed(epoch):
@@ -151,7 +180,16 @@ class BucketedUpsertTable:
         # buckets are scanned, the Iceberg-partition-pruning equivalent
         paths = [os.path.join(self.data_dir, f"bucket={b}") for b in sorted(present)]
         df = self.spark.read.option("basePath", self.data_dir).parquet(*paths)
-        return df.select(*self.state_cols, "bucket")
+        df = df.select(*self.state_cols, "bucket")
+        if self.merge_on_read:
+            # epoch files are un-merged LSM runs: collapse to one row per
+            # key at read time; rows at or below the drop floor are dead
+            # (physically removed only at compaction)
+            floor = self.drop_floor()
+            if floor is not None:
+                df = df.filter(F.col(self.order_col) > floor)
+            df = collapse_last_writer_wins(df, key=self.key, order_col=self.order_col)
+        return df
 
     def _state_schema(self):
         import pyspark.sql.types as T
@@ -224,6 +262,13 @@ class BucketedUpsertTable:
             shutil.rmtree(tmp, ignore_errors=True)
             self._commit(epoch_id, rows=0, buckets=[], t0=t0)
             return
+        if self.merge_on_read:
+            # LSM append: the collapsed batch files become this epoch's
+            # run inside each bucket dir. No job 2 ever — drops are
+            # handled by the (already advanced) floor at read time.
+            self._append_epoch_files(tmp, touched, n_rows, epoch_id, t0)
+            return
+
         present = set(self._present_buckets())
         all_touched = (
             sorted(set(touched) | present) if batch_drop is not None else touched
@@ -315,6 +360,34 @@ class BucketedUpsertTable:
         n_rows = self._parquet_rows(tmp)
         self._swap_and_commit(tmp, present, n_rows, cid, t0)
         return {"removed": before - n_rows, "buckets": len(present), "rows": n_rows}
+
+    def _append_epoch_files(
+        self, tmp: str, touched: list[int], n_rows: int, epoch_id: int, t0: float
+    ) -> None:
+        """Merge-on-read commit: move this epoch's bucket files into the
+        live bucket dirs under epoch-tagged names.
+
+        Exactly-once: an ``_inflight-epoch-<n>`` marker brackets the
+        moves; a crash before the commit marker leaves the inflight
+        marker behind, and ``_recover`` deletes exactly this epoch's
+        files (filename prefix) before the replay re-appends them.
+        """
+        inflight = os.path.join(self.root, f"_inflight-epoch-{epoch_id}")
+        with open(inflight, "w") as f:
+            f.write(",".join(map(str, touched)))
+        for b in touched:
+            src = os.path.join(tmp, f"bucket={b}")
+            dst = os.path.join(self.data_dir, f"bucket={b}")
+            os.makedirs(dst, exist_ok=True)
+            files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+            for i, f in enumerate(files):
+                os.replace(
+                    os.path.join(src, f),
+                    os.path.join(dst, f"epoch{epoch_id}-{i}.parquet"),
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._commit(epoch_id, rows=n_rows, buckets=touched, t0=t0)
+        os.remove(inflight)
 
     def _write_parallelism(self, n: int) -> int:
         """Task count for bucketed writes: one-task-per-bucket up to a
