@@ -79,7 +79,7 @@ def run_worker(cores: int, feed: str, mft: int = 0, repeats: int = 3,
 
 
 def worker_main(cores: int, feed: str, mft: int = 0, enrich: bool = False,
-                stage: str = "pipeline") -> None:
+                stage: str = "pipeline", mor: bool = False) -> None:
     from aktuell_spark.session import get_spark
     from aktuell_spark.streaming.metrics import ProgressRecorder
     from aktuell_spark.streaming.pipeline import run_cdc_pipeline
@@ -122,6 +122,7 @@ def worker_main(cores: int, feed: str, mft: int = 0, enrich: bool = False,
     _, table = run_cdc_pipeline(
         spark, feed, f"{base}/table", f"{base}/ckpt",
         n_buckets=64, max_files_per_trigger=(mft or None), enrich=enrich,
+        merge_on_read=mor,
     )
     wall = time.time() - t0
     n_rows = table.read().count()
@@ -150,6 +151,7 @@ def main() -> None:
     w.add_argument("--feed", required=True)
     w.add_argument("--mft", type=int, default=0)  # 0 = single epoch
     w.add_argument("--enrich", action="store_true")
+    w.add_argument("--mor", action="store_true")
     w.add_argument("--stage", default="pipeline", choices=["pipeline", "merge"])
     ap.add_argument("--convs", type=int, default=50_000)
     ap.add_argument("--out", default="BENCH.md")
@@ -157,7 +159,8 @@ def main() -> None:
 
     if args.cmd == "worker":
         worker_main(args.cores, args.feed, args.mft,
-                    getattr(args, "enrich", False), args.stage)
+                    getattr(args, "enrich", False), args.stage,
+                    getattr(args, "mor", False))
         return
 
     feed, n_events = gen_feed(args.convs)
