@@ -118,6 +118,78 @@ class FanoutSink:
         return out
 
 
+class EngineManager:
+    """Multi-database coordinator: one fan-out pipeline per configured
+    database (the reference's SyncManager starts one change-stream
+    pipeline per DB and fans events to subscribers,
+    /root/reference/pkg/sync/manager.go:144-219).
+
+    Subscriptions are grouped by database; each database gets its own
+    streaming query, checkpoint, and per-subscription tables under
+    ``root/db=<name>/``. ``stats()`` is the cross-database fan-in
+    (manager.go:213-219's map of db → SyncStats).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        feed_dir: str,
+        root: str,
+        checkpoint_dir: str,
+        config: EngineConfig,
+        subscriptions: list[Subscription],
+        n_buckets: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.feed_dir = feed_dir
+        self.root = root
+        self.checkpoint_dir = checkpoint_dir
+        self.config = config
+        self.n_buckets = n_buckets
+        self.by_db: dict[str, list[Subscription]] = {}
+        for s in subscriptions:
+            if not s.database:
+                raise ValueError(
+                    f"subscription {s.name!r}: the manager routes per database; "
+                    "set Subscription.database"
+                )
+            if not config.is_valid_subscription(s.database, s.collection):
+                raise ValueError(
+                    f"invalid subscription {s.name!r}: "
+                    f"{s.database}/{s.collection} is not configured"
+                )
+            self.by_db.setdefault(s.database, []).append(s)
+        self.sinks: dict[str, FanoutSink] = {}
+
+    def run(self, max_files_per_trigger: int | None = None) -> dict[str, object]:
+        """Run each database's pipeline to completion (availableNow) —
+        sequential queries over one shared session; on a cluster each
+        would be its own long-running query (the reference runs one
+        goroutine per DB)."""
+        queries = {}
+        for db, subs in self.by_db.items():
+            q, sink = run_fanout_pipeline(
+                self.spark,
+                self.feed_dir,
+                os.path.join(self.root, f"db={db}"),
+                os.path.join(self.checkpoint_dir, f"db={db}"),
+                subs,
+                n_buckets=self.n_buckets,
+                config=self.config,
+                max_files_per_trigger=max_files_per_trigger,
+            )
+            queries[db] = q
+            self.sinks[db] = sink
+        return queries
+
+    def read(self, database: str, subscription: str) -> DataFrame:
+        return self.sinks[database].read(subscription)
+
+    def stats(self) -> dict[str, dict]:
+        """db → per-subscription lineage fan-in (A3, manager.go:213-219)."""
+        return {db: sink.stats() for db, sink in self.sinks.items()}
+
+
 def run_fanout_pipeline(
     spark: SparkSession,
     feed_dir: str,

@@ -33,6 +33,15 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--continuous", action="store_true")
     ap.add_argument("--metrics-out", default=None)
+    ap.add_argument(
+        "--partial-updates", action="store_true",
+        help="reconstruct post-images from updated_fields/removed_fields",
+    )
+    ap.add_argument(
+        "--merge-on-read", action="store_true",
+        help="append LSM runs per epoch instead of rewriting buckets "
+             "(write-heavy ingest; run compact() off the hot path)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,7 +59,10 @@ def main() -> None:
     rec = ProgressRecorder(out_path=args.metrics_out)
     spark.streams.addListener(rec)
 
-    table = BucketedUpsertTable(spark, args.table, n_buckets=args.n_buckets)
+    table = BucketedUpsertTable(
+        spark, args.table, n_buckets=args.n_buckets,
+        partial_updates=args.partial_updates, merge_on_read=args.merge_on_read,
+    )
     stream = read_change_stream(spark, args.feed, args.max_files_per_trigger)
     stream = subscription_filter(stream, args.database, args.collection)
     writer = (

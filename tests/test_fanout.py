@@ -152,3 +152,50 @@ def test_fanout_with_partial_updates(spark, tmp_path):
     got = sorted(map(tuple, sink.read("all").collect()))
     want = sorted(map(tuple, latest_image(full).collect()))
     assert got == want and len(got) > 0
+
+
+def test_engine_manager_per_database_pipelines(spark, tmp_path):
+    """SyncManager analogue: one pipeline per configured database; each
+    database's subscriptions see exactly their slice; cross-DB stats
+    fan-in works; invalid/unrouted subscriptions rejected."""
+    from aktuell_spark.streaming.fanout import EngineManager
+
+    t = gen_transcripts(spark, n_convs=16, avg_turns=6, hot_turns=16, seed=23)
+    ch = gen_transcript_changes(t, seed=23).withColumn(
+        "database",
+        F.when(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, F.lit("prod"))
+        .otherwise(F.lit("staging")),
+    ).localCheckpoint()
+    feed = f"{tmp_path}/feed"
+    write_change_feed(ch, feed, n_files=2)
+
+    cfg = EngineConfig(databases={"prod": [], "staging": []})
+    mgr = EngineManager(
+        spark, feed, f"{tmp_path}/eng", f"{tmp_path}/engck", cfg,
+        [Subscription("p_all", database="prod"),
+         Subscription("s_all", database="staging")],
+        n_buckets=4,
+    )
+    mgr.run()
+
+    from aktuell_spark.operators.cdc import latest_image
+
+    for db, sub in (("prod", "p_all"), ("staging", "s_all")):
+        got = sorted(map(tuple, mgr.read(db, sub).collect()))
+        want = sorted(map(tuple, latest_image(
+            ch.filter(F.col("database") == db)
+        ).collect()))
+        assert got == want and len(got) > 0, db
+
+    stats = mgr.stats()
+    assert set(stats) == {"prod", "staging"}
+    assert stats["prod"]["p_all"]["merged_rows"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not configured"):
+        EngineManager(spark, feed, f"{tmp_path}/x", f"{tmp_path}/xck", cfg,
+                      [Subscription("bad", database="nope")])
+    with _pytest.raises(ValueError, match="set Subscription.database"):
+        EngineManager(spark, feed, f"{tmp_path}/y", f"{tmp_path}/yck", cfg,
+                      [Subscription("unrouted")])
