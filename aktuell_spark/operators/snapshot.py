@@ -106,8 +106,26 @@ def export_with_batches(
 
     The range-partitioned frame is persisted so the count pass and the
     output pass see the SAME sampled range boundaries (two actions over
-    an unpersisted range shuffle may re-sample differently).
+    an unpersisted range shuffle may re-sample differently); the result
+    is eagerly materialized (localCheckpoint) and the source cache
+    released before returning, so repeated exports in a long-lived
+    session don't pin stale copies of the table in executor storage.
     """
+    out, parted = _export_with_batches_lazy(df, sort, batch_size, n_partitions)
+    out = out.localCheckpoint(eager=True)
+    parted.unpersist()
+    return out
+
+
+def _export_with_batches_lazy(
+    df: DataFrame,
+    sort: list[tuple[str, str]],
+    batch_size: int,
+    n_partitions: int | None = None,
+):
+    """Internals of export_with_batches pre-materialization — returns
+    (lazy output, persisted source) so plan tests can assert the
+    no-single-reducer shape before AQE/checkpoint obscure it."""
     order = [F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sort]
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
@@ -134,4 +152,4 @@ def export_with_batches(
         )
         .drop("_pid", "_off", "_rn")
     )
-    return out
+    return out, parted

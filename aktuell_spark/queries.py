@@ -689,7 +689,10 @@ def q_knn_lsh(spark, sf_dir):
     from aktuell_spark.functions.similarity import knn_lsh
 
     emb = load(spark, sf_dir, "embeddings")
-    return knn_lsh(emb, k=3, max_bucket_size=ANN_MAX_BUCKET)
+    # planes pinned (not adaptive): the static SQL oracle must bucket
+    # identically at ANY corpus size the driver runs
+    return knn_lsh(emb, k=3, n_planes=ANN_PLANES_AT_TEST_SF,
+                   max_bucket_size=ANN_MAX_BUCKET)
 
 
 SQL_KNN_LSH = f"""
@@ -730,7 +733,8 @@ def q_knn_multiprobe(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return knn_lsh_multiprobe(
-        emb, k=3, n_probes=ANN_N_PROBES, max_bucket_size=ANN_MAX_BUCKET
+        emb, k=3, n_planes=ANN_PLANES_AT_TEST_SF, n_probes=ANN_N_PROBES,
+        max_bucket_size=ANN_MAX_BUCKET,
     )
 
 
@@ -954,7 +958,10 @@ def q_embedding_near_dup(spark, sf_dir):
     from aktuell_spark.functions.similarity import embedding_near_dup_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4, max_bucket_size=ANN_MAX_BUCKET)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.4, n_planes=ANN_PLANES_AT_TEST_SF,
+        max_bucket_size=ANN_MAX_BUCKET,
+    )
 
 
 SQL_EMBEDDING_NEAR_DUP = f"""

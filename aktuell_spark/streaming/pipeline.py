@@ -144,7 +144,7 @@ def run_cdc_pipeline(
         payload = (*PAYLOAD_COLS, *ENRICHED_EXTRA_COLS)
         table = BucketedUpsertTable(
             spark, table_root, n_buckets=n_buckets, payload=payload,
-            payload_schema=stream.schema,
+            payload_schema=stream.schema, merge_on_read=merge_on_read,
         )
     else:
         table = BucketedUpsertTable(

@@ -234,9 +234,14 @@ class BucketedUpsertTable:
         floor = self.drop_floor()
         op = F.col("op")
         b = batch_df.select(*self.state_cols)
-        if floor is not None:
-            b = b.filter(F.col(self.order_col) > floor)
         marker = op.isin("drop", "rename")
+        if floor is not None:
+            # markers are EXEMPT from the floor filter: a retried drop
+            # epoch has already persisted its floor, and filtering the
+            # marker out (seq > floor is false at seq == floor) would
+            # skip the present-bucket truncation on the replay — old
+            # rows in untouched buckets would survive forever
+            b = b.filter(marker | (F.col(self.order_col) > floor))
         b = b.withColumn(
             "bucket", F.when(marker, F.lit(-1)).otherwise(self._bucket_col())
         ).withColumn(
@@ -270,15 +275,17 @@ class BucketedUpsertTable:
             return
 
         present = set(self._present_buckets())
-        all_touched = (
-            sorted(set(touched) | present) if batch_drop is not None else touched
-        )
+        # a GOVERNING drop (this batch's marker is the current floor —
+        # first application or a retried epoch) truncates every existing
+        # bucket; a stale redelivered marker below the floor is subsumed
+        governing_drop = batch_drop is not None and batch_drop == new_floor
+        all_touched = sorted(set(touched) | present) if governing_drop else touched
         if not all_touched:  # pure-marker batch into an empty table
             shutil.rmtree(tmp, ignore_errors=True)
             self._commit(epoch_id, rows=0, buckets=[], t0=t0)
             return
 
-        if (set(all_touched) & present) or batch_drop is not None:
+        if (set(all_touched) & present) or governing_drop:
             # ---- job 2 (only when existing buckets overlap or a drop
             # arrived): fold existing state in. Reads the already-
             # collapsed tmp (smaller than the raw batch), one keyed
@@ -311,7 +318,10 @@ class BucketedUpsertTable:
             )
             shutil.rmtree(tmp, ignore_errors=True)
             tmp = tmp2
-            n_rows = self._parquet_rows(tmp)
+            # n_rows stays the collapsed-batch count: merged_rows lineage
+            # means "changes processed this epoch" on EVERY path (fresh,
+            # overlap, MoR, partial) — not post-merge table size, which
+            # would re-count existing state each epoch
         self._swap_and_commit(tmp, all_touched, n_rows, epoch_id, t0)
 
     # reserved (very negative) epoch-id space for compaction commits so
@@ -511,8 +521,8 @@ class BucketedUpsertTable:
             F.max(F.when(op == "drop", seq)).alias("dmax"),
             F.max(F.when(op == "rename", seq)).alias("rmax"),
         ).collect()
-        touched = [r["bucket"] for r in stats]
-        n_rows = sum(r["n"] for r in stats)
+        touched = [r["bucket"] for r in stats if r["bucket"] != -1]
+        n_rows = sum(r["n"] for r in stats if r["bucket"] != -1)
         batch_drop = max((r["dmax"] for r in stats if r["dmax"] is not None), default=None)
         rename_seq = max((r["rmax"] for r in stats if r["rmax"] is not None), default=None)
         if rename_seq is not None:
@@ -547,8 +557,12 @@ class BucketedUpsertTable:
         from aktuell_spark.operators.cdc import reconstruct_post_images
 
         delta_schema = ("updated_fields", "removed_fields")
+        marker = F.col("op").isin("drop", "rename")
         batch = batch_df.select(*self.state_cols, *delta_schema).withColumn(
-            "bucket", self._bucket_col()
+            # markers route to the reserved -1 bucket (same as the CoW
+            # path) so a marker-bearing batch doesn't mark a real data
+            # bucket touched and force a pointless read-reconstruct-swap
+            "bucket", F.when(marker, F.lit(-1)).otherwise(self._bucket_col())
         )
         batch = batch.persist()
         # touched buckets from the raw batch (cannot pre-collapse: a

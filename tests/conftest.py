@@ -41,6 +41,43 @@ def golden_replay(event_rows):
     return state
 
 
+def golden_partial_replay(event_rows):
+    """Sequential oracle WITH delta application (MongoDB semantics: an
+    update without a post-image mutates an existing doc via
+    updated_fields/removed_fields, and matches nothing otherwise).
+    Shared by the partial-update unit tests and the hypothesis property
+    suite. Test-scale only."""
+    state: dict[tuple, dict] = {}
+    seen: set[int] = set()
+    for r in sorted(event_rows, key=lambda r: r["seq"]):
+        if r["seq"] in seen:
+            continue
+        seen.add(r["seq"])
+        key = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "delete":
+            state.pop(key, None)
+        elif r["op"] == "update" and r["text"] is None and (
+            r.get("updated_fields") is not None
+            or r.get("removed_fields") is not None
+        ):
+            if key not in state:
+                continue  # update matched nothing
+            doc = state[key]
+            for c in ("role", "text", "tool"):
+                if r.get("updated_fields") and c in r["updated_fields"]:
+                    doc[c] = r["updated_fields"][c]
+                elif r.get("removed_fields") and c in r["removed_fields"]:
+                    doc[c] = None
+            doc["ts"] = r["ts"]
+        else:
+            state[key] = {
+                "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+                "role": r["role"], "text": r["text"], "tool": r["tool"],
+                "ts": r["ts"],
+            }
+    return state
+
+
 def assert_df_equal(a, b):
     """Order-insensitive multiset equality via collect.
 

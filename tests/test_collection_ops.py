@@ -167,3 +167,46 @@ def test_marker_rows_never_enter_data_buckets(spark, tmp_path):
     ops = {r["op"] for r in raw.collect()}
     assert ops == {"insert"}
     assert not os.path.exists(os.path.join(root, "data", "bucket=-1"))
+
+
+def test_drop_retry_after_floor_persisted_still_truncates(spark, tmp_path):
+    """Review finding: if the drop epoch crashed AFTER persisting the
+    floor but BEFORE the swap, the replayed batch used to filter the
+    marker out (seq > floor is false at seq == floor) and skip the
+    present-bucket truncation forever. Markers are floor-exempt now."""
+    root = str(tmp_path / "t")
+    table = BucketedUpsertTable(spark, root, n_buckets=4)
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+        (3, "insert", "c", 0, "u", "c0", "", "2025-01-01 00:00:02"),
+    ]), 0)
+    # simulate the crashed epoch's side effect: floor persisted, no swap
+    table._advance_drop_floor(10)
+    assert table.drop_floor() == 10
+    # Structured Streaming replays the drop epoch
+    table.merge_batch(_batch(spark, [
+        (10, "drop", "", -1, None, None, None, "2025-01-01 01:00:00"),
+        (11, "insert", "e", 0, "u", "e0", "", "2025-01-01 01:00:01"),
+    ]), 1)
+    got = {r["conv_id"] for r in table.read().collect()}
+    assert got == {"e"}, f"replayed drop must still truncate, got {got}"
+
+
+def test_stale_redelivered_drop_does_not_rewrite(spark, tmp_path):
+    """A duplicate of an OLD drop (below the governing floor) is
+    subsumed: no present-bucket expansion, state unchanged."""
+    root = str(tmp_path / "t")
+    table = BucketedUpsertTable(spark, root, n_buckets=4)
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (5, "drop", "", -1, None, None, None, "2025-01-01 01:00:00"),
+        (6, "insert", "b", 0, "u", "b0", "", "2025-01-01 01:00:01"),
+    ]), 0)
+    before = sorted(map(tuple, table.read().collect()))
+    # epoch 1 redelivers an older drop (seq 3 < floor 5) alone
+    table.merge_batch(_batch(spark, [
+        (3, "drop", "", -1, None, None, None, "2025-01-01 00:30:00"),
+    ]), 1)
+    assert table.drop_floor() == 5
+    assert sorted(map(tuple, table.read().collect())) == before

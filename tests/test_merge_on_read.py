@@ -143,3 +143,23 @@ def test_mor_rejects_partial_updates(spark, tmp_path):
         BucketedUpsertTable(
             spark, str(tmp_path / "t"), merge_on_read=True, partial_updates=True
         )
+
+
+def test_mor_with_enrichment(spark, tmp_path):
+    """Review finding: enrich=True used to silently drop merge_on_read.
+    Enriched MoR must append runs AND materialize enriched columns."""
+    from aktuell_spark.streaming.pipeline import enrich_turns
+
+    t = gen_transcripts(spark, n_convs=10, avg_turns=5, hot_turns=10, seed=37)
+    ch = gen_transcript_changes(t, seed=37).localCheckpoint()
+    feed = f"{tmp_path}/feed"
+    write_change_feed(ch, feed, n_files=2)
+    _, table = run_cdc_pipeline(
+        spark, feed, f"{tmp_path}/tab", f"{tmp_path}/ck",
+        n_buckets=4, enrich=True, merge_on_read=True, max_files_per_trigger=1,
+    )
+    assert table.merge_on_read  # flag actually reached the sink
+    got = table.read()
+    assert {"n_tokens", "quality_score", "fingerprint"} <= set(got.columns)
+    want = enrich_turns(latest_image(ch)).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
 from aktuell_spark.operators.cdc import reconstruct_post_images
 from aktuell_spark.streaming.pipeline import run_cdc_pipeline, write_change_feed
+from tests.conftest import golden_partial_replay
 
 CHANGE_DDL = (
     "seq long, op string, conv_id string, turn_idx int, role string, text string, "
@@ -66,38 +67,6 @@ def test_reconstruct_duplicate_delta_idempotent(spark):
     assert (row["text"], row["seq"]) == ("v2", 2)
 
 
-def _golden_partial_replay(event_rows):
-    """Driver-side oracle with delta application (test-scale only)."""
-    state: dict[tuple, dict] = {}
-    seen: set[int] = set()
-    for r in sorted(event_rows, key=lambda r: r["seq"]):
-        if r["seq"] in seen:
-            continue
-        seen.add(r["seq"])
-        key = (r["conv_id"], r["turn_idx"])
-        if r["op"] == "delete":
-            state.pop(key, None)
-        elif r["op"] == "update" and r["text"] is None and (
-            r["updated_fields"] is not None or r["removed_fields"] is not None
-        ):
-            if key not in state:
-                continue  # update matched nothing
-            doc = state[key]
-            for c in ("role", "text", "tool"):
-                if r["updated_fields"] and c in r["updated_fields"]:
-                    doc[c] = r["updated_fields"][c]
-                elif r["removed_fields"] and c in r["removed_fields"]:
-                    doc[c] = None
-            doc["ts"] = r["ts"]
-        else:
-            state[key] = {
-                "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
-                "role": r["role"], "text": r["text"], "tool": r["tool"],
-                "ts": r["ts"],
-            }
-    return state
-
-
 def test_partial_pipeline_matches_golden_and_full_feed(spark, tmp_path):
     """The delta-only feed, run through the streaming sink with
     reconstruction on, equals (a) the driver-side golden replay and
@@ -125,7 +94,7 @@ def test_partial_pipeline_matches_golden_and_full_feed(spark, tmp_path):
     rows_part = sorted(map(tuple, table_part.read().collect()))
     assert rows_part == rows_full
 
-    golden = _golden_partial_replay([r.asDict() for r in part.collect()])
+    golden = golden_partial_replay([r.asDict() for r in part.collect()])
     got = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table_part.read().collect()}
     assert set(got) == set(golden)
     for k, exp in golden.items():

@@ -16,7 +16,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from aktuell_spark.operators.cdc import apply_batch_to_state, latest_image
-from tests.conftest import golden_replay
+from tests.conftest import golden_partial_replay, golden_replay
 
 KEYS = [("a", 0), ("a", 1), ("b", 0), ("c", 2)]
 T0 = dt.datetime(2025, 1, 1)
@@ -117,37 +117,6 @@ def partial_ops_to_rows(ops):
             rows.append((base[0], "update", *base[1:], None, None, None,
                          {"role": f"r{payload % 4}"}, None, ts))
     return rows
-
-
-def golden_partial_replay(event_rows):
-    """Sequential oracle with delta application (MongoDB semantics:
-    update-without-post-image mutates an existing doc, matches nothing
-    otherwise)."""
-    state, seen = {}, set()
-    for r in sorted(event_rows, key=lambda r: r["seq"]):
-        if r["seq"] in seen:
-            continue
-        seen.add(r["seq"])
-        key = (r["conv_id"], r["turn_idx"])
-        if r["op"] == "delete":
-            state.pop(key, None)
-        elif r["op"] == "update" and r["text"] is None and (
-            r["updated_fields"] is not None or r["removed_fields"] is not None
-        ):
-            if key not in state:
-                continue
-            doc = state[key]
-            for c in ("role", "text", "tool"):
-                if r["updated_fields"] and c in r["updated_fields"]:
-                    doc[c] = r["updated_fields"][c]
-                elif r["removed_fields"] and c in r["removed_fields"]:
-                    doc[c] = None
-            doc["ts"] = r["ts"]
-        else:
-            state[key] = {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
-                          "role": r["role"], "text": r["text"],
-                          "tool": r["tool"], "ts": r["ts"]}
-    return state
 
 
 @settings(

@@ -109,7 +109,14 @@ def test_export_with_batches_matches_global_window(spark):
     g = {(r["id"]): r["batch_id"] for r in got.collect()}
     e = {(r["id"]): r["batch_id"] for r in want.collect()}
     assert g == e
-    # and no partition saw more than its share (nothing funneled)
-    sizes = [r["c"] for r in got.groupBy(F.spark_partition_id().alias("p"))
-             .agg(F.count(F.lit(1)).alias("c")).collect()]
-    assert max(sizes) < 10_000
+    # and nothing funnels through one reducer: the pre-materialization
+    # plan has no single-partition exchange (the global-window form
+    # does; AQE may coalesce the tiny OUTPUT, so assert on the plan)
+    from aktuell_spark.operators.snapshot import _export_with_batches_lazy
+    from aktuell_spark.plans.explain import formatted_plan
+
+    lazy, parted = _export_with_batches_lazy(
+        df, sort=[("k", "asc"), ("id", "asc")], batch_size=300, n_partitions=8
+    )
+    assert "Exchange SinglePartition" not in formatted_plan(lazy)
+    parted.unpersist()
