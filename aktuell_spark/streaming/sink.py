@@ -399,6 +399,34 @@ class BucketedUpsertTable:
         self._commit(epoch_id, rows=n_rows, buckets=touched, t0=t0)
         os.remove(inflight)
 
+    def max_runs_per_bucket(self) -> int:
+        """Largest file count in any bucket dir (MoR read amplification)."""
+        worst = 0
+        for e in os.listdir(self.data_dir):
+            bdir = os.path.join(self.data_dir, e)
+            if e.startswith("bucket=") and os.path.isdir(bdir):
+                worst = max(
+                    worst,
+                    sum(1 for f in os.listdir(bdir) if f.endswith(".parquet")),
+                )
+        return worst
+
+    def maybe_compact(
+        self, max_runs: int = 8, tombstone_horizon: int | None = None
+    ) -> dict | None:
+        """Compaction policy for merge-on-read: fold when any bucket
+        accumulates more than ``max_runs`` epoch runs (bounds read
+        amplification). ``tombstone_horizon`` defaults to the drop floor
+        (0 if none) — i.e. GC nothing a replay could still need unless
+        the caller states a higher replay floor. Returns compact()'s
+        summary, or None if under threshold. Call off the hot path (a
+        maintenance tick, not inside foreachBatch)."""
+        if self.max_runs_per_bucket() <= max_runs:
+            return None
+        if tombstone_horizon is None:
+            tombstone_horizon = self.drop_floor() or 0
+        return self.compact(tombstone_horizon=tombstone_horizon)
+
     def _write_parallelism(self, n: int) -> int:
         """Task count for bucketed writes: one-task-per-bucket up to a
         multiple of the cluster's parallelism (a task holding several

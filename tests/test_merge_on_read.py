@@ -163,3 +163,26 @@ def test_mor_with_enrichment(spark, tmp_path):
     assert {"n_tokens", "quality_score", "fingerprint"} <= set(got.columns)
     want = enrich_turns(latest_image(ch)).select(*got.columns)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """Auto-fold only past the run threshold; tombstones above the
+    (defaulted) horizon survive compaction."""
+    root = str(tmp_path / "t")
+    table = BucketedUpsertTable(spark, root, n_buckets=1, merge_on_read=True)
+    for e in range(4):
+        table.merge_batch(_batch(spark, [
+            (e + 1, "insert", f"k{e}", 0, "u", f"v{e}", "", "2025-01-01 00:00:00"),
+        ]), e)
+    table.merge_batch(_batch(spark, [
+        (10, "delete", "k0", 0, None, None, None, "2025-01-01 01:00:00"),
+    ]), 4)
+    assert table.max_runs_per_bucket() == 5
+    assert table.maybe_compact(max_runs=8) is None  # under threshold
+    before = sorted(map(tuple, table.read().collect()))
+    out = table.maybe_compact(max_runs=2)
+    assert out is not None and table.max_runs_per_bucket() == 1
+    assert sorted(map(tuple, table.read().collect())) == before
+    # default horizon (no drop floor) == 0: the tombstone (seq 10) survives
+    raw_ops = [r["op"] for r in table._read_raw().collect()]
+    assert raw_ops.count("delete") == 1
