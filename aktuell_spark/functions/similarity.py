@@ -227,6 +227,93 @@ def knn_lsh_multiprobe(
     )
 
 
+def ivf_assign(emb: DataFrame, centroids, vec_col: str = "embedding", nprobe: int = 1):
+    """Assign each vector to its ``nprobe`` nearest centroid cells.
+
+    ``centroids``: list of (cell_id, vector) — small, travels as a
+    broadcast array literal, so assignment is a NARROW map (no shuffle):
+    score all k centroids per row with a higher-order aggregate, rank,
+    keep the top nprobe. Ties break by sim desc, cell_id asc. Returns
+    the frame with an exploded ``cell`` column (nprobe rows per vector).
+    """
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    ranked = F.array_sort(
+        scored,
+        lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
+        .when(l["sim"] < r["sim"], F.lit(1))
+        .when(l["cid"] < r["cid"], F.lit(-1))
+        .when(l["cid"] > r["cid"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+    return emb.withColumn("cell", F.explode(probes))
+
+
+def knn_ivf(
+    emb: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """IVF-style ANN: top-k cosine neighbors searched within each
+    query's ``nprobe`` nearest centroid cells (the inverted-file
+    counterpart to the sign-plane LSH path; real deployments train
+    centroids with k-means — any deterministic centroid set works here).
+
+    The candidate side indexes each vector in its SINGLE nearest cell
+    (capped per cell); the query side probes ``nprobe`` cells. Same
+    scale shape as knn_lsh: narrow assignment, one equi-join on cell,
+    work ~ N x nprobe x cell_size.
+    Output: (query_id, neighbor_id, rank, sim).
+    """
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    indexed = ivf_assign(base, centroids, "vec", nprobe=1).withColumnRenamed(
+        "cell", "bucket"
+    )
+    c = _capped_candidates(indexed, max_cell_size)
+    q = ivf_assign(base, centroids, "vec", nprobe=nprobe).withColumnRenamed(
+        "cell", "bucket"
+    )
+    scored = (
+        q.alias("a")
+        .join(
+            c.alias("c"),
+            (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") != F.col("c.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(cosine(F.col("a.vec"), F.col("c.vec")), 6).alias("sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("sim").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

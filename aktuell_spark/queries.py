@@ -771,8 +771,68 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
+IVF_N_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def q_knn_ivf(spark, sf_dir):
+    """IVF-style ANN: the inverted-file counterpart to sign-plane LSH —
+    candidates index into their nearest centroid cell, queries probe
+    their IVF_NPROBE nearest cells. Centroids here are the first
+    IVF_N_CENTROIDS corpus vectors (deterministic; production trains
+    k-means — the engine takes any centroid set as a broadcast list)."""
+    from aktuell_spark.functions.similarity import knn_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()  # bounded: centroids are a tiny broadcast model artifact
+    ]
+    return knn_ivf(emb, cents, k=3, nprobe=IVF_NPROBE, max_cell_size=ANN_MAX_BUCKET)
+
+
+def _knn_ivf_sql() -> str:
+    return f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+               WHERE vec_id < {IVF_N_CENTROIDS}),
+scored_cells AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.cvec::DOUBLE[]), 6) AS csim,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(
+                              e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) DESC,
+                            c.cid ASC) AS crank
+  FROM embeddings e CROSS JOIN cents c
+),
+indexed AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS rib
+    FROM scored_cells WHERE crank = 1
+  ) WHERE rib <= {ANN_MAX_BUCKET}
+),
+probes AS (SELECT vec_id, embedding, cid FROM scored_cells
+           WHERE crank <= {IVF_NPROBE}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         any_value(round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 6)) AS sim
+  FROM probes q JOIN indexed c ON q.cid = c.cid AND q.vec_id != c.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 QUERIES.update(
     {
+        "knn_ivf": (q_knn_ivf, _knn_ivf_sql()),
         "knn_multiprobe": (q_knn_multiprobe, _knn_multiprobe_sql()),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "token_stats_bpe": (q_token_stats_bpe, _token_stats_bpe_sql()),

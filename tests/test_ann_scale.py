@@ -133,3 +133,30 @@ def test_multiprobe_recovers_neighbors_across_cell_walls(spark):
     one_probe = hits(knn_lsh_multiprobe(emb, k=1, n_planes=8, n_probes=1))
     assert no_probe < 24, "cell wall did not separate the twins — fixture broken"
     assert one_probe == 24, f"multi-probe missed twins: {one_probe}/24"
+
+
+def test_knn_ivf_planted_duplicates_and_assignment_is_narrow(spark):
+    """IVF: exact duplicates share a nearest centroid cell → rank-1
+    recall 1.0; centroid assignment is a narrow broadcast map (no
+    shuffle, no join) — the scale property that makes IVF routing free."""
+    from aktuell_spark.functions.similarity import ivf_assign, knn_ivf
+    from aktuell_spark.plans.explain import count_exchanges
+
+    corpus = _synthetic_corpus(spark, n=1024)
+    dups = corpus.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    emb = corpus.unionByName(dups)
+    cents = [(r["vec_id"], r["embedding"])
+             for r in corpus.filter(F.col("vec_id") < 8).collect()]
+
+    top = knn_ivf(emb, cents, k=1, nprobe=1).filter(F.col("query_id") < 16)
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    hits = sum(1 for q, nb in got.items() if nb == q + 100_000)
+    assert hits == 16, f"planted-duplicate recall {hits}/16"
+
+    assigned = ivf_assign(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        cents, "vec", nprobe=1,
+    )
+    assert count_exchanges(assigned) == 0, "IVF assignment must not shuffle"
