@@ -260,8 +260,15 @@ def ivf_assign(emb: DataFrame, centroids, vec_col: str = "embedding", nprobe: in
         .when(l["cid"] > r["cid"], F.lit(1))
         .otherwise(F.lit(0)),
     )
-    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
-    return emb.withColumn("cell", F.explode(probes))
+    # posexplode references the ranked array exactly once (a second
+    # reference would let CollapseProject re-inline the whole k-cosine
+    # scoring per use — the measured 10-25x trap). probe_rank 1 = the
+    # vector's own nearest cell, so callers can derive the candidate
+    # index from the SAME assignment instead of assigning twice.
+    cells = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+    return emb.select(
+        "*", F.posexplode(cells).alias("_pos", "cell")
+    ).withColumn("probe_rank", (F.col("_pos") + 1).cast("int")).drop("_pos")
 
 
 def knn_ivf(
@@ -285,13 +292,15 @@ def knn_ivf(
     Output: (query_id, neighbor_id, rank, sim).
     """
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    indexed = ivf_assign(base, centroids, "vec", nprobe=1).withColumnRenamed(
+    # ONE assignment pass serves both sides: probe_rank==1 rows are the
+    # candidate index (each vector in its single nearest cell), all rows
+    # are the query probes. Persist: both sides of the join read it.
+    assigned = ivf_assign(base, centroids, "vec", nprobe=nprobe).withColumnRenamed(
         "cell", "bucket"
-    )
+    ).persist()
+    indexed = assigned.filter(F.col("probe_rank") == 1).drop("probe_rank")
     c = _capped_candidates(indexed, max_cell_size)
-    q = ivf_assign(base, centroids, "vec", nprobe=nprobe).withColumnRenamed(
-        "cell", "bucket"
-    )
+    q = assigned.drop("probe_rank")
     scored = (
         q.alias("a")
         .join(

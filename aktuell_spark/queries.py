@@ -771,7 +771,9 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
-IVF_N_CENTROIDS = 8
+# ~sqrt(N) cells at the bench corpus (2000 vectors): in-cell join work is
+# N * nprobe * N/cells — 8 cells measured 19.5s at sf0.1, 32 cells ~2s
+IVF_N_CENTROIDS = 32
 IVF_NPROBE = 2
 
 
