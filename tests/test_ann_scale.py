@@ -160,3 +160,53 @@ def test_knn_ivf_planted_duplicates_and_assignment_is_narrow(spark):
         cents, "vec", nprobe=1,
     )
     assert count_exchanges(assigned) == 0, "IVF assignment must not shuffle"
+
+
+def test_train_ivf_centroids_improves_on_fixed(spark):
+    """k-means trainer (DataFrame-native Lloyd iterations): trained
+    centroids must match-or-beat the first-k-corpus-vectors stand-in on
+    planted near-duplicate recall, balance cells better, and never hold
+    more than the k-row model on the driver."""
+    from aktuell_spark.functions.similarity import (
+        ivf_assign,
+        knn_ivf,
+        train_ivf_centroids,
+    )
+
+    corpus = _synthetic_corpus(spark, n=1024)
+    # near-duplicate twins: tiny perturbation on one dimension keeps
+    # cosine ~1 but can cross a cell wall under poor centroids
+    twins = corpus.filter(F.col("vec_id") < 24).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) * 1.05).cast("float")),
+            F.slice("embedding", 2, 15),
+        ).alias("embedding"),
+    )
+    emb = corpus.unionByName(twins)
+
+    k = 16
+    fixed = [(r["vec_id"], r["embedding"])
+             for r in corpus.filter(F.col("vec_id") < k).collect()]
+    trained = train_ivf_centroids(corpus, k=k, n_iter=4)
+
+    # the model is exactly k (cell_id, vector) tuples — driver footprint
+    assert len(trained) == k
+    assert all(len(v) == 16 for _, v in trained)
+
+    def rank1_hits(cents):
+        top = knn_ivf(emb, cents, k=1, nprobe=1).filter(F.col("query_id") < 24)
+        got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+        return sum(1 for q, nb in got.items() if nb == q + 100_000)
+
+    f_hits, t_hits = rank1_hits(fixed), rank1_hits(trained)
+    assert t_hits >= f_hits, f"trained {t_hits}/24 < fixed {f_hits}/24"
+
+    def max_cell(cents):
+        a = ivf_assign(
+            corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+            cents, "vec", nprobe=1,
+        )
+        return a.groupBy("cell").count().agg(F.max("count")).first()[0]
+
+    assert max_cell(trained) <= max_cell(fixed), "training worsened cell balance"

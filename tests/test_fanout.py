@@ -199,3 +199,38 @@ def test_engine_manager_per_database_pipelines(spark, tmp_path):
     with _pytest.raises(ValueError, match="set Subscription.database"):
         EngineManager(spark, feed, f"{tmp_path}/y", f"{tmp_path}/yck", cfg,
                       [Subscription("unrouted")])
+
+
+def test_fanout_merges_run_concurrently(spark, two_collection_feed):
+    """N-subscription epoch wall < sum of the same merges run
+    sequentially (Spark interleaves jobs submitted from driver
+    threads), with results identical and per-table commit markers
+    intact — the hub-style one-loop delivery, parallelized."""
+    import time
+
+    from aktuell_spark.streaming.fanout import FanoutSink
+
+    base, feed, ch = two_collection_feed
+    batch = ch.localCheckpoint()
+    subs = [Subscription(f"p{i}") for i in range(6)]  # wildcard × 6
+
+    # warm-up epoch (JIT, listing) on separate roots, then measure
+    FanoutSink(spark, f"{base}/warm", subs, n_buckets=8).merge_batch(batch, 0)
+
+    seq_sink = FanoutSink(spark, f"{base}/seq", subs, n_buckets=8)
+    t0 = time.time()
+    for s in subs:  # the round-2 sequential shape
+        seq_sink.tables[s.name].merge_batch(s.apply(batch), 0)
+    seq_wall = time.time() - t0
+
+    par_sink = FanoutSink(spark, f"{base}/par", subs, n_buckets=8)
+    t0 = time.time()
+    par_sink.merge_batch(batch, 0)
+    par_wall = time.time() - t0
+
+    assert par_wall < seq_wall, f"parallel {par_wall:.2f}s !< sequential {seq_wall:.2f}s"
+    for s in subs:
+        assert par_sink.tables[s.name].is_committed(0)
+        a = sorted(map(tuple, par_sink.read(s.name).collect()))
+        b = sorted(map(tuple, seq_sink.read(s.name).collect()))
+        assert a == b and len(a) > 0
