@@ -232,6 +232,7 @@ class BucketedUpsertTable:
         # exactly one of them — an explicit dedupe would only add a
         # second full shuffle (measured ~half the merge cost).
         floor = self.drop_floor()
+        phases: dict[str, float] = {}
         op = F.col("op")
         b = batch_df.select(*self.state_cols)
         marker = op.isin("drop", "rename")
@@ -260,18 +261,21 @@ class BucketedUpsertTable:
             .mode("overwrite")
             .parquet(tmp)
         )
+        phases["job1_write_sec"] = round(time.time() - t0, 3)
 
+        t1 = time.time()
         touched, n_rows, batch_drop = self._tmp_stats(tmp, epoch_id)
+        phases["footer_stats_sec"] = round(time.time() - t1, 3)
         new_floor = self._advance_drop_floor(batch_drop)
         if not touched and batch_drop is None:
             shutil.rmtree(tmp, ignore_errors=True)
-            self._commit(epoch_id, rows=0, buckets=[], t0=t0)
+            self._commit(epoch_id, rows=0, buckets=[], t0=t0, phases=phases)
             return
         if self.merge_on_read:
             # LSM append: the collapsed batch files become this epoch's
             # run inside each bucket dir. No job 2 ever — drops are
             # handled by the (already advanced) floor at read time.
-            self._append_epoch_files(tmp, touched, n_rows, epoch_id, t0)
+            self._append_epoch_files(tmp, touched, n_rows, epoch_id, t0, phases)
             return
 
         present = set(self._present_buckets())
@@ -285,6 +289,7 @@ class BucketedUpsertTable:
             self._commit(epoch_id, rows=0, buckets=[], t0=t0)
             return
 
+        t2 = time.time()
         if (set(all_touched) & present) or governing_drop:
             # ---- job 2 (only when existing buckets overlap or a drop
             # arrived): fold existing state in. Reads the already-
@@ -318,11 +323,12 @@ class BucketedUpsertTable:
             )
             shutil.rmtree(tmp, ignore_errors=True)
             tmp = tmp2
+            phases["job2_merge_sec"] = round(time.time() - t2, 3)
             # n_rows stays the collapsed-batch count: merged_rows lineage
             # means "changes processed this epoch" on EVERY path (fresh,
             # overlap, MoR, partial) — not post-merge table size, which
             # would re-count existing state each epoch
-        self._swap_and_commit(tmp, all_touched, n_rows, epoch_id, t0)
+        self._swap_and_commit(tmp, all_touched, n_rows, epoch_id, t0, phases)
 
     # reserved (very negative) epoch-id space for compaction commits so
     # they share the crash-safe swap + recovery machinery
@@ -372,7 +378,8 @@ class BucketedUpsertTable:
         return {"removed": before - n_rows, "buckets": len(present), "rows": n_rows}
 
     def _append_epoch_files(
-        self, tmp: str, touched: list[int], n_rows: int, epoch_id: int, t0: float
+        self, tmp: str, touched: list[int], n_rows: int, epoch_id: int, t0: float,
+        phases: dict | None = None,
     ) -> None:
         """Merge-on-read commit: move this epoch's bucket files into the
         live bucket dirs under epoch-tagged names.
@@ -396,7 +403,7 @@ class BucketedUpsertTable:
                     os.path.join(dst, f"epoch{epoch_id}-{i}.parquet"),
                 )
         shutil.rmtree(tmp, ignore_errors=True)
-        self._commit(epoch_id, rows=n_rows, buckets=touched, t0=t0)
+        self._commit(epoch_id, rows=n_rows, buckets=touched, t0=t0, phases=phases)
         os.remove(inflight)
 
     def max_runs_per_bucket(self) -> int:
@@ -640,11 +647,13 @@ class BucketedUpsertTable:
         self._swap_and_commit(tmp, touched, n_rows, epoch_id, t0)
 
     def _swap_and_commit(
-        self, tmp: str, touched: list[int], n_rows: int, epoch_id: int, t0: float
+        self, tmp: str, touched: list[int], n_rows: int, epoch_id: int, t0: float,
+        phases: dict | None = None,
     ) -> None:
         # crash-safe swap: live bucket moves aside BEFORE the new one
         # moves in; a crash at any point leaves either image restorable
         # (_recover), never a missing bucket whose only copy was _tmp
+        t_swap = time.time()
         aside = self._aside_dir(epoch_id)
         shutil.rmtree(aside, ignore_errors=True)
         os.makedirs(aside, exist_ok=True)
@@ -656,20 +665,25 @@ class BucketedUpsertTable:
             if os.path.exists(src):
                 os.replace(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
-        self._commit(epoch_id, rows=n_rows, buckets=touched, t0=t0)
+        if phases is not None:
+            phases["swap_sec"] = round(time.time() - t_swap, 3)
+        self._commit(epoch_id, rows=n_rows, buckets=touched, t0=t0, phases=phases)
 
-    def _commit(self, epoch_id: int, rows: int, buckets: list[int], t0: float) -> None:
+    def _commit(
+        self, epoch_id: int, rows: int, buckets: list[int], t0: float,
+        phases: dict | None = None,
+    ) -> None:
         # per-epoch lineage + metrics (north rule: per-partition lineage)
+        rec = {
+            "epoch": epoch_id,
+            "merged_rows": rows,
+            "touched_buckets": sorted(buckets),
+            "merge_sec": round(time.time() - t0, 3),
+        }
+        if phases:
+            rec["phases"] = phases
         with open(os.path.join(self.metrics_dir, f"epoch-{epoch_id}.json"), "w") as f:
-            json.dump(
-                {
-                    "epoch": epoch_id,
-                    "merged_rows": rows,
-                    "touched_buckets": sorted(buckets),
-                    "merge_sec": round(time.time() - t0, 3),
-                },
-                f,
-            )
+            json.dump(rec, f)
         with open(os.path.join(self.commits_dir, str(epoch_id)), "w") as f:
             f.write("ok")
         # asides are only needed to roll back an uncommitted epoch

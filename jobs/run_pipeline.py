@@ -24,9 +24,14 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--feed", required=True)
-    ap.add_argument("--table", required=True)
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument(
+        "--config", default=None,
+        help="YAML config (reference-compatible, see aktuell_spark/config.py): "
+             "runs the multi-database EngineManager instead of a single pipeline",
+    )
+    ap.add_argument("--feed", default=None)
+    ap.add_argument("--table", default=None)
+    ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--database", default="aktuell")
     ap.add_argument("--collection", default="transcripts")
     ap.add_argument("--n-buckets", type=int, default=64)
@@ -48,6 +53,22 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("aktuell_cdc_pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.config:
+        # multi-database deployment from YAML — the reference's
+        # config-file entry point (cmd/server/main.go:147-180)
+        from aktuell_spark.config import load_manager
+
+        mgr, settings = load_manager(
+            spark, args.config,
+            feed_dir=args.feed, root=args.table, checkpoint_dir=args.checkpoint,
+        )
+        mgr.run(max_files_per_trigger=settings.max_files_per_trigger)
+        print(json.dumps({"stats": mgr.stats()}))
+        return
+    for req in ("feed", "table", "checkpoint"):
+        if not getattr(args, req):
+            ap.error(f"--{req} is required without --config")
 
     from aktuell_spark.streaming.metrics import ProgressRecorder
     from aktuell_spark.streaming.pipeline import (

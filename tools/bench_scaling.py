@@ -129,6 +129,15 @@ def worker_main(cores: int, feed: str, mft: int = 0, enrich: bool = False,
     time.sleep(2)  # listener bus drain
     summ = rec.summary()
     events = summ.get("total_rows", 0)
+    # per-epoch phase breakdown (sink metrics) + per-batch trigger
+    # durations (listener) — used to audit the size-independent constant
+    epochs = []
+    mdir = os.path.join(base, "table", "_metrics")
+    if os.path.isdir(mdir):
+        for fn in sorted(os.listdir(mdir)):
+            if fn.startswith("epoch-"):
+                with open(os.path.join(mdir, fn)) as f:
+                    epochs.append(json.load(f))
     print(json.dumps({
         "cores": cores,
         "events": events,
@@ -138,6 +147,9 @@ def worker_main(cores: int, feed: str, mft: int = 0, enrich: bool = False,
         "p50_batch_sec": summ.get("p50_batch_sec"),
         "batches": summ.get("batches"),
         "materialized_rows": n_rows,
+        "epoch_phases": [e.get("phases") for e in epochs],
+        "merge_sec_total": round(sum(e.get("merge_sec", 0) for e in epochs), 2),
+        "trigger_durations_ms": [p["duration_ms"] for p in rec.progress],
     }))
     shutil.rmtree(base, ignore_errors=True)
     spark.stop()
