@@ -99,12 +99,12 @@ class BucketedUpsertTable:
         # collapse across epoch files and compact() folds them back to one
         # file per bucket. The write-heavy-CDC trade: cheapest possible
         # ingest, read amplification bounded by compaction cadence.
+        # merge_on_read + partial_updates: LSM runs store the raw events
+        # INCLUDING updated_fields/removed_fields, and the read-time
+        # collapse is reconstruct_post_images instead of plain LWW —
+        # delta-only feeds get MoR's O(batch) ingest (not even a keyed
+        # collapse on the write path) and reads fold post-images.
         self.merge_on_read = merge_on_read
-        if merge_on_read and partial_updates:
-            # delta application needs the prior image at SOME point; MoR
-            # defers merging, so reads would need reconstruct (and the
-            # delta columns stored). Not supported together yet.
-            raise ValueError("merge_on_read is incompatible with partial_updates")
         self.delta_cols = tuple(
             c for c in self.payload if c not in self.key and c != ts_col
         )
@@ -180,15 +180,35 @@ class BucketedUpsertTable:
         # buckets are scanned, the Iceberg-partition-pruning equivalent
         paths = [os.path.join(self.data_dir, f"bucket={b}") for b in sorted(present)]
         df = self.spark.read.option("basePath", self.data_dir).parquet(*paths)
-        df = df.select(*self.state_cols, "bucket")
+        mor_partial = self.merge_on_read and self.partial_updates
+        extra = ("updated_fields", "removed_fields") if mor_partial else ()
+        df = df.select(*self.state_cols, *extra, "bucket")
         if self.merge_on_read:
             # epoch files are un-merged LSM runs: collapse to one row per
             # key at read time; rows at or below the drop floor are dead
-            # (physically removed only at compaction)
+            # (physically removed only at compaction). Bucket-first
+            # single-shuffle shape: repartition on bucket, then the
+            # (bucket, key) aggregation is partition-local and the
+            # output stays bucket-partitioned (compact() writes it with
+            # no further exchange).
             floor = self.drop_floor()
             if floor is not None:
                 df = df.filter(F.col(self.order_col) > floor)
-            df = collapse_last_writer_wins(df, key=self.key, order_col=self.order_col)
+            df = df.repartition(self._write_parallelism(len(present)), "bucket")
+            if mor_partial:
+                from aktuell_spark.operators.cdc import reconstruct_post_images
+
+                df = reconstruct_post_images(
+                    df,
+                    key=("bucket", *self.key),
+                    order_col=self.order_col,
+                    delta_cols=self.delta_cols,
+                    ts_col=self.ts_col,
+                )
+            else:
+                df = collapse_last_writer_wins(
+                    df, key=("bucket", *self.key), order_col=self.order_col
+                )
         return df
 
     def _state_schema(self):
@@ -250,14 +270,23 @@ class BucketedUpsertTable:
             # carry both a drop and a rename and must keep both
             "_mk", F.when(marker, op).otherwise(F.lit(""))
         )
+        # ONE shuffle for collapse + bucketed write: repartition by
+        # bucket FIRST, then group by (bucket, key). hash(bucket)
+        # co-locates every row of a key (bucket is a function of the
+        # bucket column of the key), so Catalyst's EnsureRequirements
+        # sees ClusteredDistribution(bucket, key...) already satisfied —
+        # the aggregation is partition-local and the write needs no
+        # second repartition. The old collapse-then-repartition plan
+        # moved the full payload through two exchanges; measured 1.6x
+        # slower at 18M events.
+        b = b.repartition(self._write_parallelism(self.n_buckets), "bucket")
         collapsed = collapse_last_writer_wins(
-            b, key=(*self.key, "_mk"), order_col=self.order_col
+            b, key=("bucket", *self.key, "_mk"), order_col=self.order_col
         ).drop("_mk")
         tmp = os.path.join(self.root, f"_tmp-epoch-{epoch_id}")
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            collapsed.repartition(self._write_parallelism(self.n_buckets), "bucket")
-            .write.partitionBy("bucket")
+            collapsed.write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(tmp)
         )
@@ -310,14 +339,16 @@ class BucketedUpsertTable:
                 src = existing.unionByName(tmp_data)
             if new_floor is not None:
                 src = src.filter(F.col(self.order_col) > new_floor)
+            # same single-shuffle shape as job 1: partition by bucket,
+            # partition-local collapse, direct bucketed write
+            src = src.repartition(self._write_parallelism(len(all_touched)), "bucket")
             merged = collapse_last_writer_wins(
-                src, key=self.key, order_col=self.order_col
+                src, key=("bucket", *self.key), order_col=self.order_col
             )
             tmp2 = tmp + ".merged"
             shutil.rmtree(tmp2, ignore_errors=True)
             (
-                merged.repartition(self._write_parallelism(len(all_touched)), "bucket")
-                .write.partitionBy("bucket")
+                merged.write.partitionBy("bucket")
                 .mode("overwrite")
                 .parquet(tmp2)
             )
@@ -365,14 +396,19 @@ class BucketedUpsertTable:
         keep = self._read_raw().filter(
             (F.col("op") != "delete") | (F.col(self.order_col) > tombstone_horizon)
         )
+        if self.merge_on_read and self.partial_updates:
+            # compacted rows are full post-images; keep the delta columns
+            # (as nulls) so compacted and fresh run files share a schema
+            keep = keep.withColumn(
+                "updated_fields", F.lit(None).cast("map<string,string>")
+            ).withColumn("removed_fields", F.lit(None).cast("array<string>"))
+        if not self.merge_on_read:
+            # CoW rows come back scan-partitioned; co-locate per bucket.
+            # (MoR reads are already bucket-partitioned by _read_raw.)
+            keep = keep.repartition(self._write_parallelism(len(present)), "bucket")
         tmp = os.path.join(self.root, f"_tmp-epoch-{cid}")
         shutil.rmtree(tmp, ignore_errors=True)
-        (
-            keep.repartition(self._write_parallelism(len(present)), "bucket")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(tmp)
-        )
+        keep.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
         n_rows = self._parquet_rows(tmp)
         self._swap_and_commit(tmp, present, n_rows, cid, t0)
         return {"removed": before - n_rows, "buckets": len(present), "rows": n_rows}
@@ -591,6 +627,10 @@ class BucketedUpsertTable:
         """
         from aktuell_spark.operators.cdc import reconstruct_post_images
 
+        if self.merge_on_read:
+            self._append_partial_run(batch_df, epoch_id, t0)
+            return
+
         delta_schema = ("updated_fields", "removed_fields")
         marker = F.col("op").isin("drop", "rename")
         batch = batch_df.select(*self.state_cols, *delta_schema).withColumn(
@@ -620,14 +660,54 @@ class BucketedUpsertTable:
             ).withColumn(
                 "removed_fields", F.lit(None).cast("array<string>")
             ).unionByName(ev)
+        # bucket-first single shuffle: reconstruct's base-agg, partial-
+        # agg, and join all cluster on (bucket, key), satisfied by the
+        # hash(bucket) repartition — partition-local, and the write
+        # needs no second exchange
+        src = src.repartition(
+            self._write_parallelism(max(len(touched), 1)), "bucket"
+        )
         merged = reconstruct_post_images(
             src,
-            key=self.key,
+            key=("bucket", *self.key),
             order_col=self.order_col,
             delta_cols=self.delta_cols,
             ts_col=self.ts_col,
         )
         self._write_and_swap(merged, batch, touched, n_rows, epoch_id, t0)
+
+    def _append_partial_run(self, batch_df: DataFrame, epoch_id: int, t0: float) -> None:
+        """Merge-on-read ingest of a delta-carrying batch: the run stores
+        the RAW events (full images and deltas alike, delta columns
+        included) — no keyed shuffle at all on the write path; the
+        read-time collapse (`_read_raw`) reconstructs post-images. The
+        cheapest possible ingest for the reference's no-UpdateLookup
+        delta stream (pkg/models/types.go:17-18)."""
+        phases: dict[str, float] = {}
+        floor = self.drop_floor()
+        op = F.col("op")
+        marker = op.isin("drop", "rename")
+        b = batch_df.select(*self.state_cols, "updated_fields", "removed_fields")
+        if floor is not None:
+            # markers stay floor-exempt (retried drop must still truncate)
+            b = b.filter(marker | (F.col(self.order_col) > floor))
+        b = b.withColumn(
+            "bucket", F.when(marker, F.lit(-1)).otherwise(self._bucket_col())
+        )
+        b = b.repartition(self._write_parallelism(self.n_buckets), "bucket")
+        tmp = os.path.join(self.root, f"_tmp-epoch-{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        b.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        phases["job1_write_sec"] = round(time.time() - t0, 3)
+        t1 = time.time()
+        touched, n_rows, batch_drop = self._tmp_stats(tmp, epoch_id)
+        phases["footer_stats_sec"] = round(time.time() - t1, 3)
+        self._advance_drop_floor(batch_drop)
+        if not touched and batch_drop is None:
+            shutil.rmtree(tmp, ignore_errors=True)
+            self._commit(epoch_id, rows=0, buckets=[], t0=t0, phases=phases)
+            return
+        self._append_epoch_files(tmp, touched, n_rows, epoch_id, t0, phases)
 
     def _write_and_swap(
         self, merged: DataFrame, cached: DataFrame, touched: list[int],
@@ -635,10 +715,10 @@ class BucketedUpsertTable:
     ) -> None:
         tmp = os.path.join(self.root, f"_tmp-epoch-{epoch_id}")
         shutil.rmtree(tmp, ignore_errors=True)
-        # one output file per bucket dir; buckets are small by design
+        # one output file per bucket dir; buckets are small by design.
+        # Caller hands us a bucket-partitioned plan — write directly.
         (
             merged.select(*self.state_cols, "bucket")
-            .repartition(self._write_parallelism(max(len(touched), 1)), "bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(tmp)

@@ -138,11 +138,8 @@ def test_mor_compact_folds_runs(spark, tmp_path):
     )[:5]
 
 
-def test_mor_rejects_partial_updates(spark, tmp_path):
-    with pytest.raises(ValueError, match="incompatible"):
-        BucketedUpsertTable(
-            spark, str(tmp_path / "t"), merge_on_read=True, partial_updates=True
-        )
+# merge_on_read + partial_updates is now a supported combination;
+# coverage lives in tests/test_mor_partial.py
 
 
 def test_mor_with_enrichment(spark, tmp_path):
