@@ -27,7 +27,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_latest_image(spark, "/root/testdata/sf0.001")
 
 
-def _stream_cdc(spark: SparkSession, merge_on_read: bool) -> DataFrame:
+def _stream_cdc(
+    spark: SparkSession, merge_on_read: bool, partial_updates: bool = False
+) -> DataFrame:
     """Full streaming path: generated transcript CDC feed → stream →
     exactly-once foreachBatch MERGE → materialized table."""
     from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
@@ -38,11 +40,14 @@ def _stream_cdc(spark: SparkSession, merge_on_read: bool) -> DataFrame:
     base = tempfile.mkdtemp(prefix="aktuell_stream_")
     try:
         t = gen_transcripts(spark, n_convs=50, avg_turns=10, hot_turns=80, seed=42)
-        ch = gen_transcript_changes(t, seed=42).localCheckpoint()
+        ch = gen_transcript_changes(
+            t, seed=42, partial_updates=partial_updates
+        ).localCheckpoint()
         write_change_feed(ch, f"{base}/feed", n_files=4)
         _, table = run_cdc_pipeline(
             spark, f"{base}/feed", f"{base}/table", f"{base}/ckpt",
             n_buckets=8, merge_on_read=merge_on_read,
+            partial_updates=partial_updates,
         )
         out = table.read().localCheckpoint()  # materialize before cleanup
         return out
@@ -63,10 +68,19 @@ def _stream_cdc_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_cdc(spark, merge_on_read=True)
 
 
+def _stream_cdc_mor_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read × partial updates (rows-only check): LSM runs store
+    delta columns, reads reconstruct post-images — must materialize the
+    exact same rows as the copy-on-write partial path (pytest asserts
+    the byte equivalence; this query pins the row shape)."""
+    return _stream_cdc(spark, merge_on_read=True, partial_updates=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: fn for name, (fn, _sql) in QUERIES.items()}
     out["stream_cdc_materialize"] = _stream_cdc_materialize
     out["stream_cdc_mor"] = _stream_cdc_mor
+    out["stream_cdc_mor_partial"] = _stream_cdc_mor_partial
     return out
 
 

@@ -243,12 +243,19 @@ def gen_transcript_changes(
     dups = events.filter(F.pmod(_h("seq", seed=seed + 14), F.lit(100)) < dup_pct)
     events = events.unionByName(dups)
 
+    # residual dynamic payload: inserts carry a small deterministic map
+    # (the reference's schemaless document fields, pkg/models/types.go:16)
+    extra = F.when(
+        F.col("op") == "insert",
+        F.create_map(F.lit("origin"), F.concat(F.lit("fixture-"), F.col("role"))),
+    ).otherwise(F.lit(None).cast("map<string,string>"))
     return events.select(
         "seq", "op",
         F.lit("aktuell").alias("database"),
         F.lit("transcripts").alias("collection"),
         "conv_id", "turn_idx", "role", "text", "tool",
         "updated_fields", "removed_fields", "ts",
+        extra.alias("extra"),
     )
 
 
@@ -259,6 +266,7 @@ def inject_collection_op(
     ts,
     database: str = "aktuell",
     collection: str = "transcripts",
+    to_collection: str | None = None,
 ) -> DataFrame:
     """Union one collection-level op row (``drop``/``rename``) into a
     change feed (reference op enum: pkg/models/types.go:101-108).
@@ -266,14 +274,18 @@ def inject_collection_op(
     The sentinel key ('', -1) satisfies the non-null key schema; the
     sink strips marker rows from the payload. ``seq`` must be unique in
     the feed if the watermark-dedupe mode is used; the sink MERGE path
-    does not care.
+    does not care. A rename carries its target namespace as
+    ``extra['to']`` (the Mongo change-stream ``to`` field).
     """
     from aktuell_spark.schemas import CHANGE_SCHEMA
 
     assert op in ("drop", "rename"), op
+    extra = {"to": to_collection} if to_collection else None
     spark = events.sparkSession
-    row = (seq, op, database, collection, "", -1, None, None, None, None, None, ts)
-    return events.unionByName(spark.createDataFrame([row], CHANGE_SCHEMA))
+    row = (seq, op, database, collection, "", -1, None, None, None, None, None, ts, extra)
+    return events.unionByName(
+        spark.createDataFrame([row], CHANGE_SCHEMA), allowMissingColumns=True
+    )
 
 
 def gen_tool_events(transcripts: DataFrame, seed: int = 42) -> DataFrame:

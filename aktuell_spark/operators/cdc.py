@@ -76,6 +76,78 @@ def apply_collection_ops(events: DataFrame, order_col: str = "seq") -> DataFrame
     return out.drop("_floor")
 
 
+def rename_intervals(
+    markers: Sequence[tuple[int, str, str]],
+) -> list[tuple[str, int, int, str]]:
+    """Compose rename markers ``(seq, old, new)`` into lookup intervals
+    ``(name, lo, hi, final)``: an event on collection *name* with
+    ``lo <= seq < hi`` finally belongs to collection *final* after every
+    later rename (chains compose: a→b then b→c maps an early a-event to
+    c). Rows where final == name are omitted. Marker counts are
+    collection-level ops — a handful per table lifetime — so this is
+    driver-side math over a tiny list, never data-sized.
+    """
+    rs = sorted(markers)
+
+    def final(c: str, s: int) -> str:
+        cur, s_cur = c, s
+        for seq, old, new in rs:
+            if seq > s_cur and old == cur:
+                cur, s_cur = new, seq
+        return cur
+
+    LO = -(2**62)
+    out: list[tuple[str, int, int, str]] = []
+    for c in sorted({old for _, old, _ in rs}):
+        lo = LO
+        for cut in sorted({seq for seq, old, _ in rs if old == c}):
+            f = final(c, cut - 1)
+            if f != c:
+                out.append((c, lo, cut, f))
+            lo = cut
+    return out
+
+
+def resolve_renames(events: DataFrame, extra_col: str = "extra") -> DataFrame:
+    """Read-path rename aliasing (reference op enum
+    pkg/models/types.go:101-108; Mongo rename preserves documents under
+    the new namespace): adds ``collection_resolved`` — the collection an
+    event finally belongs to after every rename in the feed — so a
+    subscription to the new name sees pre-rename rows too.
+
+    Rename markers carry the target namespace as ``extra['to']`` (the
+    change stream's ``to`` field). The marker set is collected to the
+    driver (bounded: collection-level ops, not data) and applied as a
+    broadcast interval join — one narrow pass, no shuffle of *events*.
+    """
+    op = F.col("op")
+    if extra_col not in events.columns:
+        return events.withColumn("collection_resolved", F.col("collection"))
+    to = F.element_at(F.col(extra_col), F.lit("to"))
+    markers = [
+        (r["seq"], r["collection"], r["to"])
+        for r in events.filter((op == "rename") & to.isNotNull())
+        .select("seq", "collection", to.alias("to"))
+        .collect()
+    ]
+    intervals = rename_intervals(markers)
+    if not intervals:
+        return events.withColumn("collection_resolved", F.col("collection"))
+    lookup = events.sparkSession.createDataFrame(
+        intervals, "name string, lo long, hi long, final string"
+    )
+    joined = events.join(
+        F.broadcast(lookup),
+        (F.col("collection") == F.col("name"))
+        & (F.col("seq") >= F.col("lo"))
+        & (F.col("seq") < F.col("hi")),
+        "left",
+    )
+    return joined.withColumn(
+        "collection_resolved", F.coalesce(F.col("final"), F.col("collection"))
+    ).drop("name", "lo", "hi", "final")
+
+
 def is_partial_update(events: DataFrame):
     """Predicate: event carries a partial update (no full post-image).
 
@@ -101,6 +173,7 @@ def reconstruct_post_images(
     order_col: str = "seq",
     delta_cols: Sequence[str] = ("role", "text", "tool"),
     ts_col: str = "ts",
+    extra_col: str = "extra",
 ) -> DataFrame:
     """Collapse a batch that mixes full images and partial updates into
     one full post-image row per key (S3 — the reference's
@@ -120,7 +193,14 @@ def reconstruct_post_images(
     delta chain, not table size), one key-partitioned join, and a
     higher-order ``aggregate`` fold — no Python, no window sort.
     Output: key + delta_cols + ts + ``order_col`` + op.
+
+    Residual dynamic fields: when the input carries ``extra_col`` (a
+    ``map<string,string>`` of schemaless document fields, reference
+    pkg/models/types.go:16), delta keys that name no fixed column fold
+    into that map — ``updated_fields['k']`` upserts ``extra[k]``,
+    membership in ``removed_fields`` deletes it.
     """
+    fold_extra = extra_col in events.columns
     part = is_partial_update(events)
     base = collapse_last_writer_wins(events.filter(~part), key=key, order_col=order_col)
 
@@ -148,6 +228,9 @@ def reconstruct_post_images(
 
     joined = base.join(ups, on=list(key), how="left")
 
+    empty_map = F.create_map().cast("map<string,string>")
+    empty_arr = F.array().cast("array<string>")
+
     def _apply(acc, u):
         fields = []
         for c in delta_cols:
@@ -160,12 +243,26 @@ def reconstruct_post_images(
                 .otherwise(acc[c])
                 .alias(c)
             )
+        if fold_extra:
+            # residual delta keys (not a fixed column) upsert/delete in
+            # the extra map; all map ops, no duplicate keys by
+            # construction (kept ∩ new = ∅), stays JVM-side
+            uf = F.coalesce(u["uf"], empty_map)
+            rf = F.coalesce(u["rf"], empty_arr)
+            uf_res = F.map_filter(uf, lambda k, _v: ~k.isin(*delta_cols))
+            kept = F.map_filter(
+                F.coalesce(acc[extra_col], empty_map),
+                lambda k, _v: ~F.array_contains(rf, k)
+                & ~F.map_contains_key(uf_res, k),
+            )
+            fields.append(F.map_concat(kept, uf_res).alias(extra_col))
         fields.append(u["ts"].alias("ts"))
         fields.append(u["seq"].alias("seq"))
         return F.struct(*fields)
 
     init = F.struct(
         *[F.col(c).alias(c) for c in delta_cols],
+        *([F.col(extra_col).alias(extra_col)] if fold_extra else []),
         F.col(ts_col).alias("ts"),
         F.col(order_col).alias("seq"),
     )
@@ -175,16 +272,17 @@ def reconstruct_post_images(
     )
     folded = F.aggregate(applicable, init, _apply)
 
-    extra = [c for c in events.columns
-             if c not in (*key, *delta_cols, ts_col, order_col, "op",
-                          "updated_fields", "removed_fields")]
+    passthrough = [c for c in events.columns
+                   if c not in (*key, *delta_cols, ts_col, order_col, "op",
+                                "updated_fields", "removed_fields", extra_col)]
     return joined.select(
         *key,
         *[folded[c].alias(c) for c in delta_cols],
+        *([folded[extra_col].alias(extra_col)] if fold_extra else []),
         folded["ts"].alias(ts_col),
         folded["seq"].alias(order_col),
         "op",
-        *extra,
+        *passthrough,
     )
 
 

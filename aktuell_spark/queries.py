@@ -1392,3 +1392,127 @@ QUERIES.update(
         "hll_distinct": (q_hll_distinct, None),
     }
 )
+
+
+# ----------------------------------------------------------------------
+# round 3: residual dynamic payload fields + rename read-path aliasing
+# ----------------------------------------------------------------------
+def q_residual_projection(spark, sf_dir):
+    """Residual dynamic payload fields (reference's schemaless document
+    map, pkg/models/types.go:16): delta keys outside the fixed columns
+    fold into the ``extra`` map — ``updated_fields['k']`` upserts
+    ``extra['k']``, ``removed_fields`` deletes.
+
+    Feed derived from ``events``: each user's first event inserts with
+    ``extra = {'k': props.k, 'origin': 'seed'}``; every later event is a
+    partial update whose ``updated_fields`` sets the RESIDUAL key ``k``,
+    and events with event_id % 7 == 0 remove the residual ``origin``.
+    """
+    from aktuell_spark.operators.cdc import reconstruct_post_images
+
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("event_id").alias("first_id"))
+    evj = ev.join(first, "user_id")
+    is_first = F.col("event_id") == F.col("first_id")
+    kval = F.get_json_object("props", "$.k")
+    nul = F.lit(None).cast("string")
+    changes = evj.select(
+        F.col("event_id").alias("seq"),
+        F.when(is_first, F.lit("insert")).otherwise(F.lit("update")).alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.when(is_first, F.col("event_type")).otherwise(nul).alias("role"),
+        F.when(is_first, F.lit("t0")).otherwise(nul).alias("text"),
+        nul.alias("tool"),
+        F.when(~is_first, F.create_map(F.lit("k"), kval)).alias("updated_fields"),
+        F.when(
+            ~is_first & (F.col("event_id") % 7 == 0), F.array(F.lit("origin"))
+        ).alias("removed_fields"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(
+            is_first,
+            F.create_map(F.lit("k"), kval, F.lit("origin"), F.lit("seed")),
+        ).alias("extra"),
+    )
+    out = reconstruct_post_images(changes, key=("conv_id", "turn_idx"))
+    return out.select(
+        "conv_id",
+        F.element_at("extra", F.lit("k")).alias("k_val"),
+        F.element_at("extra", F.lit("origin")).alias("origin"),
+        F.col("seq").alias("last_seq"),
+    )
+
+
+SQL_RESIDUAL_PROJECTION = """
+WITH f AS (SELECT user_id, min(event_id) AS first_id FROM events GROUP BY user_id)
+SELECT CAST(e.user_id AS VARCHAR) AS conv_id,
+       arg_max(json_extract_string(e.props, '$.k'), e.event_id) AS k_val,
+       CASE WHEN max(CASE WHEN e.event_id > f.first_id AND e.event_id % 7 = 0
+                          THEN 1 ELSE 0 END) = 1
+            THEN NULL ELSE 'seed' END AS origin,
+       max(e.event_id) AS last_seq
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY e.user_id
+"""
+
+
+def q_rename_routing(spark, sf_dir):
+    """Rename read-path aliasing (reference op enum
+    pkg/models/types.go:101-108): a collection rename moves documents,
+    so pre-rename events must resolve to the NEW name.
+
+    Feed derived from ``events``: 'click' events stream into collection
+    ``clicks_v1`` until seq mid = max(event_id) div 2, where a rename
+    marker (extra['to'] = 'clicks') switches the namespace; later clicks
+    arrive as ``clicks``. All other events are ``misc``.
+    ``resolve_renames`` routes every click — old or new — to ``clicks``.
+    """
+    from aktuell_spark.operators.cdc import resolve_renames
+
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2  # 1-row collect
+    is_click = F.col("event_type") == "click"
+    coll = F.when(
+        is_click & (F.col("event_id") < mid), F.lit("clicks_v1")
+    ).when(is_click, F.lit("clicks")).otherwise(F.lit("misc"))
+    nul = F.lit(None).cast("string")
+    data = ev.select(
+        F.col("event_id").alias("seq"),
+        F.lit("insert").alias("op"),
+        coll.alias("collection"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+    )
+    marker = spark.range(1).select(
+        F.lit(mid).cast("long").alias("seq"),
+        F.lit("rename").alias("op"),
+        F.lit("clicks_v1").alias("collection"),
+        nul.alias("conv_id"),
+        F.create_map(F.lit("to"), F.lit("clicks")).alias("extra"),
+    )
+    feed = data.unionByName(marker)
+    resolved = resolve_renames(feed).filter(F.col("op") != "rename")
+    return resolved.groupBy(F.col("collection_resolved").alias("collection")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("conv_id").alias("n_users"),
+        F.max("seq").alias("max_seq"),
+    )
+
+
+SQL_RENAME_ROUTING = """
+WITH m AS (SELECT max(event_id) // 2 AS mid FROM events)
+SELECT CASE WHEN event_type = 'click' THEN 'clicks' ELSE 'misc' END AS collection,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       max(event_id) AS max_seq
+FROM events, m
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "residual_projection": (q_residual_projection, SQL_RESIDUAL_PROJECTION),
+        "rename_routing": (q_rename_routing, SQL_RENAME_ROUTING),
+    }
+)

@@ -13,6 +13,10 @@ TRANSCRIPT_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("tool", T.StringType(), True),
         T.StructField("ts", T.TimestampType(), True),
+        # residual dynamic payload: the reference's documents are
+        # schemaless (map[string]interface{}, pkg/models/types.go:16);
+        # fields outside the fixed transcript columns ride here
+        T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
 
@@ -30,6 +34,12 @@ CHANGE_SCHEMA = T.StructType(
         T.StructField("updated_fields", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("removed_fields", T.ArrayType(T.StringType()), True),
         T.StructField("ts", T.TimestampType(), False),
+        # residual dynamic payload fields (schemaless document columns
+        # beyond the fixed transcript set; delta keys in updated_fields
+        # that name no fixed column fold into this map). For a rename
+        # marker (op='rename') the target collection travels as
+        # extra['to'] (Mongo change-stream 'to' namespace).
+        T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
 

@@ -61,6 +61,12 @@ class Subscription:
 class FanoutSink:
     """foreachBatch body that MERGEs one batch into N subscription tables."""
 
+    # reserved negative epoch-id spaces for rename-driven seeds/drops so
+    # they ride the sink's idempotent commit-marker machinery (distinct
+    # from BucketedUpsertTable.COMPACT_EPOCH_BASE)
+    RENAME_SEED_BASE = -3_000_000_000
+    RENAME_DROP_BASE = -4_000_000_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -68,11 +74,21 @@ class FanoutSink:
         subs: list[Subscription],
         n_buckets: int = 32,
         partial_updates: bool = False,
+        rename_aware: bool = True,
     ) -> None:
         names = [s.name for s in subs]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate subscription names: {names}")
         self.subs = list(subs)
+        # rename_aware: a rename marker (op='rename', extra['to']=target,
+        # reference op enum pkg/models/types.go:101-108) MOVES documents:
+        # the target collection's subscriptions are seeded from the source
+        # collection's table, then the source table is truncated (Mongo
+        # drops the old namespace). Costs one tiny marker probe per epoch
+        # over the cached batch. Limitation: a multi-hop chain (a->b AND
+        # b->c in the SAME micro-batch) seeds c before b has merged its
+        # own same-batch pre-rename events; split-batch chains are exact.
+        self.rename_aware = rename_aware
         # driver threads submitting concurrent merge jobs per epoch;
         # actions release the GIL while blocked on the JVM, so merges
         # genuinely overlap. Bounded: each thread pins a few driver RPCs
@@ -92,40 +108,126 @@ class FanoutSink:
         pending = [
             s for s in self.subs if not self.tables[s.name].is_committed(epoch_id)
         ]
-        if not pending:
+        if not pending and not self.rename_aware:
             return
         batch_df = batch_df.persist()
         try:
-            if len(pending) == 1:
-                s = pending[0]
-                self.tables[s.name].merge_batch(s.apply(batch_df), epoch_id)
+            renames = self._detect_renames(batch_df) if self.rename_aware else []
+            if renames:
+                target_cols = {new for (_seq, _old, new, _ts) in renames}
+                phase1 = [s for s in pending if s.collection not in target_cols]
+                phase2 = [s for s in pending if s.collection in target_cols]
+                self._merge_subs(phase1, batch_df, epoch_id)
+                for seq, old, new, ts in sorted(renames):
+                    self._apply_rename(seq, old, new, ts)
+                self._merge_subs(phase2, batch_df, epoch_id)
             else:
-                # concurrent per-subscription merges over the shared
-                # cached batch: Spark's scheduler interleaves jobs from
-                # multiple driver threads, so epoch latency is bounded by
-                # the slowest subscription, not the sum (the reference's
-                # hub delivers to all clients from one loop,
-                # websocket.go:226-249). Safe: tables are disjoint roots,
-                # each with its own commit marker — a failed thread
-                # leaves its table uncommitted and the epoch replay
-                # re-merges only that one.
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(
-                    max_workers=min(len(pending), self.max_concurrency)
-                ) as pool:
-                    futs = [
-                        pool.submit(
-                            self.tables[s.name].merge_batch,
-                            s.apply(batch_df),
-                            epoch_id,
-                        )
-                        for s in pending
-                    ]
-                    for f in futs:
-                        f.result()  # re-raise the first failure
+                self._merge_subs(pending, batch_df, epoch_id)
         finally:
             batch_df.unpersist()
+
+    def _merge_subs(self, pending: list[Subscription], batch_df: DataFrame,
+                    epoch_id: int) -> None:
+        if not pending:
+            return
+        if len(pending) == 1:
+            s = pending[0]
+            self.tables[s.name].merge_batch(s.apply(batch_df), epoch_id)
+            return
+        # concurrent per-subscription merges over the shared
+        # cached batch: Spark's scheduler interleaves jobs from
+        # multiple driver threads, so epoch latency is bounded by
+        # the slowest subscription, not the sum (the reference's
+        # hub delivers to all clients from one loop,
+        # websocket.go:226-249). Safe: tables are disjoint roots,
+        # each with its own commit marker — a failed thread
+        # leaves its table uncommitted and the epoch replay
+        # re-merges only that one.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(len(pending), self.max_concurrency)
+        ) as pool:
+            futs = [
+                pool.submit(
+                    self.tables[s.name].merge_batch,
+                    s.apply(batch_df),
+                    epoch_id,
+                )
+                for s in pending
+            ]
+            for f in futs:
+                f.result()  # re-raise the first failure
+
+    def _detect_renames(self, batch_df: DataFrame):
+        """Bounded probe: rename markers carrying a target namespace.
+        Collection-level ops are rare; the collect is a handful of rows
+        over the already-cached batch."""
+        from pyspark.sql import functions as F
+
+        if "extra" not in batch_df.columns:
+            return []
+        to = F.element_at(F.col("extra"), F.lit("to"))
+        return [
+            (r["seq"], r["collection"], r["to"], r["ts"])
+            for r in batch_df.filter((F.col("op") == "rename") & to.isNotNull())
+            .select("seq", "collection", to.alias("to"), "ts")
+            .collect()
+        ]
+
+    def _apply_rename(self, seq: int, old: str, new: str, ts) -> None:
+        """Move documents old→new: seed every subscription on the target
+        collection from every subscription table on the source, then
+        truncate the source tables (Mongo rename leaves nothing under
+        the old namespace). Seeds/drops commit under reserved epoch ids
+        derived from the rename seq — replays skip committed steps, so
+        a crash anywhere in the sequence recovers exactly."""
+        from pyspark.sql import functions as F
+
+        sources = [s for s in self.subs if s.collection == old]
+        targets = [s for s in self.subs if s.collection == new]
+        for si, src in enumerate(sources):
+            st = self.tables[src.name]
+            seed = st._read_raw()
+            for tgt in targets:
+                tt = self.tables[tgt.name]
+                seed_epoch = self.RENAME_SEED_BASE - seq * 100 - si
+                if tt.is_committed(seed_epoch) or seed is None:
+                    continue
+                sdf = seed.drop("bucket")
+                if tt.partial_updates:
+                    sdf = sdf.withColumn(
+                        "updated_fields", F.lit(None).cast("map<string,string>")
+                    ).withColumn("removed_fields", F.lit(None).cast("array<string>"))
+                tt.merge_batch(sdf, seed_epoch)
+            # truncate the source AFTER all targets seeded: a synthetic
+            # drop marker at the rename seq rides the sink's normal
+            # drop-floor machinery (idempotent, replay-safe)
+            drop_epoch = self.RENAME_DROP_BASE - seq * 100 - si
+            if not st.is_committed(drop_epoch):
+                schema = st._state_schema()
+                vals = []
+                for f in schema.fields:
+                    if f.name == st.key[0]:
+                        vals.append("")
+                    elif f.name in st.key:
+                        vals.append(-1)
+                    elif f.name == st.order_col:
+                        vals.append(seq)
+                    elif f.name == "op":
+                        vals.append("drop")
+                    elif f.name == st.ts_col:
+                        vals.append(ts)
+                    else:
+                        vals.append(None)
+                drop_df = st.spark.createDataFrame([tuple(vals)], schema)
+                if st.partial_updates:
+                    drop_df = drop_df.withColumn(
+                        "updated_fields", F.lit(None).cast("map<string,string>")
+                    ).withColumn(
+                        "removed_fields", F.lit(None).cast("array<string>")
+                    )
+                st.merge_batch(drop_df, drop_epoch)
 
     def foreach_batch(self):
         return lambda df, epoch: self.merge_batch(df, epoch)

@@ -105,8 +105,11 @@ class BucketedUpsertTable:
         # delta-only feeds get MoR's O(batch) ingest (not even a keyed
         # collapse on the write path) and reads fold post-images.
         self.merge_on_read = merge_on_read
+        # "extra" is the residual map column — folded as a map by
+        # reconstruct_post_images, never a string delta target itself
         self.delta_cols = tuple(
-            c for c in self.payload if c not in self.key and c != ts_col
+            c for c in self.payload
+            if c not in self.key and c != ts_col and c != "extra"
         )
         self._payload_schema = payload_schema
         self.data_dir = os.path.join(root, "data")
@@ -178,7 +181,33 @@ class BucketedUpsertTable:
             return None
         # concrete dir list (not a glob): dir-level pruning — only touched
         # buckets are scanned, the Iceberg-partition-pruning equivalent
-        paths = [os.path.join(self.data_dir, f"bucket={b}") for b in sorted(present)]
+        if self.merge_on_read:
+            # snapshot isolation for LSM runs: an epoch's files land in
+            # the live dirs BEFORE its commit marker, so filter reads to
+            # files of committed epochs (epoch id is in the filename) —
+            # a racing reader can no longer observe rows that recovery
+            # would roll back. Compacted files (part-*) are post-swap.
+            committed = set()
+            for c in os.listdir(self.commits_dir):
+                try:
+                    committed.add(int(c))
+                except ValueError:
+                    pass
+            paths = []
+            for b in sorted(present):
+                bdir = os.path.join(self.data_dir, f"bucket={b}")
+                for fn in sorted(os.listdir(bdir)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    if fn.startswith("epoch"):
+                        ep = int(fn[len("epoch"):fn.rfind("-")])
+                        if ep not in committed:
+                            continue
+                    paths.append(os.path.join(bdir, fn))
+            if not paths:
+                return None
+        else:
+            paths = [os.path.join(self.data_dir, f"bucket={b}") for b in sorted(present)]
         df = self.spark.read.option("basePath", self.data_dir).parquet(*paths)
         mor_partial = self.merge_on_read and self.partial_updates
         extra = ("updated_fields", "removed_fields") if mor_partial else ()

@@ -94,23 +94,33 @@ def _make_join_fn(flush_gap_s: int):
         conv_id = key[0]
         if state.hasTimedOut:
             # watermark passed the flush horizon: emit unmatched turns
-            # with null status (tool never reported), drop the state
+            # with null status (tool never reported) AND unmatched calls
+            # with null turn columns (turn never arrived — a data-quality
+            # signal; silently dropping them hides feed gaps), then drop
+            # the state
             (turns_json, calls_json, _last_us) = state.get
             turns = json.loads(turns_json) if turns_json else []
+            calls = json.loads(calls_json) if calls_json else []
             state.remove()
-            if turns:
+            if turns or calls:
                 turns.sort(key=lambda r: r["turn_idx"])
+                calls.sort(key=lambda r: r["turn_idx"])
                 yield pd.DataFrame(
                     {
                         "conv_id": conv_id,
-                        "turn_idx": [r["turn_idx"] for r in turns],
-                        "role": [r["role"] for r in turns],
-                        "text": [r["text"] for r in turns],
-                        "tool": [r["tool"] for r in turns],
-                        "turn_ts": [pd.Timestamp(r["ts"], unit="us") for r in turns],
-                        "call_id": None,
-                        "status": None,
-                        "call_ts": pd.NaT,
+                        "turn_idx": [r["turn_idx"] for r in turns]
+                        + [r["turn_idx"] for r in calls],
+                        "role": [r["role"] for r in turns] + [None] * len(calls),
+                        "text": [r["text"] for r in turns] + [None] * len(calls),
+                        "tool": [r["tool"] for r in turns]
+                        + [r["tool"] for r in calls],
+                        "turn_ts": [pd.Timestamp(r["ts"], unit="us") for r in turns]
+                        + [pd.NaT] * len(calls),
+                        "call_id": [None] * len(turns)
+                        + [r["call_id"] for r in calls],
+                        "status": [None] * len(turns) + [r["status"] for r in calls],
+                        "call_ts": [pd.NaT] * len(turns)
+                        + [pd.Timestamp(r["ts"], unit="us") for r in calls],
                     }
                 )
             return
@@ -214,16 +224,18 @@ def _batch_join_fn(pdf: pd.DataFrame) -> pd.DataFrame:
                 calls_buf[idx] = rec
     for idx in sorted(turns_buf):  # flush unmatched turns
         out.append((turns_buf[idx], None))
-    out.sort(key=lambda p: p[0]["turn_idx"])
+    for idx in sorted(calls_buf):  # flush unmatched (orphan) calls too
+        out.append((None, calls_buf[idx]))
+    out.sort(key=lambda p: (p[0] or p[1])["turn_idx"])
     conv = pdf["conv_id"].iloc[0] if len(pdf) else None
     return pd.DataFrame(
         {
             "conv_id": conv,
-            "turn_idx": [t["turn_idx"] for t, _ in out],
-            "role": [t["role"] for t, _ in out],
-            "text": [t["text"] for t, _ in out],
-            "tool": [t["tool"] for t, _ in out],
-            "turn_ts": [t["ts"] for t, _ in out],
+            "turn_idx": [(t or c)["turn_idx"] for t, c in out],
+            "role": [t["role"] if t else None for t, _ in out],
+            "text": [t["text"] if t else None for t, _ in out],
+            "tool": [(t or c)["tool"] for t, c in out],
+            "turn_ts": [t["ts"] if t else pd.NaT for t, _ in out],
             "call_id": [c["call_id"] if c else None for _, c in out],
             "status": [c["status"] if c else None for _, c in out],
             "call_ts": [c["ts"] if c else pd.NaT for _, c in out],

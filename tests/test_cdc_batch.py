@@ -28,8 +28,9 @@ def _fixture(spark, n_convs=30, seed=42):
 
 def _comparable(df):
     """Map columns are not set-op comparable; serialize them."""
-    if "updated_fields" in df.columns:
-        df = df.withColumn("updated_fields", F.to_json("updated_fields"))
+    for c in ("updated_fields", "extra"):
+        if c in df.columns:
+            df = df.withColumn(c, F.to_json(c))
     return df
 
 

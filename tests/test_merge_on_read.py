@@ -138,6 +138,33 @@ def test_mor_compact_folds_runs(spark, tmp_path):
     )[:5]
 
 
+def test_mor_read_skips_uncommitted_epoch_files(spark, tmp_path):
+    """Snapshot isolation: run files land before the commit marker; a
+    reader must not see an epoch that has no marker yet."""
+    import shutil
+
+    root = str(tmp_path / "t")
+    table = BucketedUpsertTable(spark, root, n_buckets=2, merge_on_read=True)
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 0)
+    before = sorted(map(tuple, table.read().collect()))
+    # plant a run file for epoch 99 with no _commits/99 marker
+    for e in os.listdir(os.path.join(root, "data")):
+        bdir = os.path.join(root, "data", e)
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(bdir, f), os.path.join(bdir, "epoch99-0.parquet")
+                )
+    assert sorted(map(tuple, table.read().collect())) == before
+    # once the marker exists the file is visible (duplicate row collapses
+    # to the same image, so state is unchanged but the file is read)
+    with open(os.path.join(root, "_commits", "99"), "w") as f:
+        f.write("ok")
+    assert sorted(map(tuple, table.read().collect())) == before
+
+
 # merge_on_read + partial_updates is now a supported combination;
 # coverage lives in tests/test_mor_partial.py
 

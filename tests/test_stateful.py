@@ -103,7 +103,10 @@ def test_stateful_join_timeout_flushes_unmatched(spark, tmp_path):
     spark.createDataFrame(
         [("orphan", 0, "tool", "no call ever", "search", t0)], turns_schema
     ).write.parquet(tdir, mode="append")
-    spark.createDataFrame([], tools_schema).write.parquet(cdir, mode="append")
+    # and the mirror case: a tool call whose turn never arrives
+    spark.createDataFrame(
+        [("orphan_call", 3, "search", "c-77", "ok", t0)], tools_schema
+    ).write.parquet(cdir, mode="append")
 
     def run():
         ts = spark.readStream.schema(turns_schema).parquet(tdir)
@@ -131,6 +134,29 @@ def test_stateful_join_timeout_flushes_unmatched(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["call_id"] is None and out[0]["status"] is None
     assert out[0]["text"] == "no call ever"
+    # the orphan CALL is flushed too, with null turn columns (a call
+    # whose turn never arrived is a data-quality signal, not silence)
+    oc = spark.read.parquet(outdir).filter("conv_id = 'orphan_call'").collect()
+    assert len(oc) == 1
+    assert oc[0]["call_id"] == "c-77" and oc[0]["status"] == "ok"
+    assert oc[0]["text"] is None and oc[0]["turn_ts"] is None
+    assert oc[0]["tool"] == "search"
+
+
+def test_stateful_join_batch_flushes_orphan_calls(spark):
+    turns_schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    tools_schema = "conv_id string, turn_idx int, tool string, call_id string, status string, ts timestamp"
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    turns = spark.createDataFrame([("c", 0, "user", "hi", "", t0)], turns_schema)
+    tools = spark.createDataFrame(
+        [("c", 0, "search", "c-1", "ok", t0), ("c", 9, "search", "c-2", "err", t0)],
+        tools_schema,
+    )
+    rows = {r["turn_idx"]: r for r in join_turns_tools_stateful(turns, tools).collect()}
+    assert rows[0]["call_id"] == "c-1" and rows[0]["text"] == "hi"
+    assert rows[9]["call_id"] == "c-2" and rows[9]["text"] is None
 
 
 def test_native_join_matches_range_filtered_oracle(spark, fixture):
