@@ -18,6 +18,7 @@ at-most-once drops (database.go:110-115) become checkpointed offsets.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,14 @@ def write_change_feed(events: DataFrame, feed_dir: str, n_files: int = 8) -> Non
     Files are written in ``seq`` ranges so the file source replays in
     arrival order. Range-partitioning keeps this a single pass; at scale
     the feed is Kafka or an Iceberg changelog and this helper disappears.
+
+    The file source orders a backlog by modification time, but write
+    tasks finish in arbitrary order — without correction a later seq
+    range can carry an earlier mtime and replay FIRST. LWW merges are
+    order-insensitive so plain CDC wouldn't care, but partial updates
+    have Mongo semantics (a delta whose base hasn't arrived matches
+    nothing), so arrival order must follow seq order: stamp mtimes
+    along the path order (part-NNNNN tracks the range partition id).
     """
     (
         events.repartitionByRange(n_files, "seq")
@@ -39,6 +48,10 @@ def write_change_feed(events: DataFrame, feed_dir: str, n_files: int = 8) -> Non
         .write.mode("append")
         .parquet(feed_dir)
     )
+    t0 = time.time()
+    for i, name in enumerate(sorted(os.listdir(feed_dir))):
+        if name.endswith(".parquet"):
+            os.utime(os.path.join(feed_dir, name), (t0 + i, t0 + i))
 
 
 def read_change_stream(
