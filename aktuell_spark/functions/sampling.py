@@ -1,0 +1,58 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-stable only per partitioning — a repartition or
+a different file split changes which rows survive, which breaks
+resumable pipelines and cross-engine audits. These samplers hash the
+ROW KEY instead: membership is a pure function of the key, so the
+sample is identical across cluster sizes, retries, and engines (the
+DuckDB oracle reproduces it exactly — md5 is md5 everywhere).
+
+Scale: narrow map + filter, no shuffle; the hash prefix comparison is
+a constant-length string compare inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """First 4 hex chars of md5(salt || key) — 65536 stable buckets.
+    String md5 (not xxhash64) on purpose: every engine reproduces it,
+    so oracle SQL and resumed runs select the same rows."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 4)
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by key hash (stable everywhere).
+
+    The threshold is the rate mapped onto the 16-bit hex prefix space;
+    realized rate converges to ``rate`` at corpus scale (hash
+    uniformity), exactly reproducible by any engine with md5.
+    """
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate >= 1.0:
+        return df
+    threshold = format(int(rate * 0x10000), "04x")
+    return df.filter(hash_bucket(key, salt) < F.lit(threshold))
+
+
+def stratified_counts(
+    df: DataFrame, key: str, stratum: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Per-stratum audit of a deterministic sample: total rows, sampled
+    rows, realized rate. One hash-groupBy — the audit a pipeline runs
+    before committing to a sampling threshold."""
+    # "g" sorts above every hex digit -> rate 1.0 keeps all rows
+    threshold = "g" if rate >= 1.0 else format(int(rate * 0x10000), "04x")
+    sampled = (hash_bucket(key, salt) < F.lit(threshold)).cast("long")
+    return df.groupBy(stratum).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(sampled).alias("n_sampled"),
+        F.round(F.sum(sampled) / F.count(F.lit(1)), 4).alias("realized_rate"),
+    )

@@ -146,3 +146,30 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "fingerprint", F.substring(F.md5(normalize_text(text_col)), 1, 16)
     )
+
+
+# PII scrubbing (training-data hygiene). Patterns are deliberately
+# lookaround-free so Java regex (Spark) and RE2 (DuckDB oracle) agree.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace emails / international-format phones / IPv4 literals with
+    typed placeholders. Order matters: emails first (a phone pattern
+    could otherwise eat digit runs inside mailbox names). All JVM-side
+    regexp_replace — no Python, full codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    return c
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``text`` scrubbed + a flag column marking rows that changed."""
+    scrubbed = scrub_pii(text_col)
+    return df.withColumn("text_scrubbed", scrubbed).withColumn(
+        "had_pii", F.col(text_col) != scrubbed
+    )

@@ -1516,3 +1516,128 @@ QUERIES.update(
         "rename_routing": (q_rename_routing, SQL_RENAME_ROUTING),
     }
 )
+
+
+# ----------------------------------------------------------------------
+# round 3 widening: as-of join, PII scrub, deterministic sampling
+# ----------------------------------------------------------------------
+def q_asof_join(spark, sf_dir):
+    """AS-OF join (operators/asof.py): attach the most recent purchase
+    at or before each click, per user — the union + last-non-null
+    window composition (one shuffle on the key), checked against
+    DuckDB's native ASOF JOIN. Right side deduped to one row per
+    (user, ts) so tie-breaking is engine-independent."""
+    from aktuell_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["ts", "pvalue"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("pvalue_asof", 2).alias("last_purchase"),
+        F.col("ts_asof").cast("long").alias("purchase_ts_epoch"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.user_id,
+       c.event_id,
+       round(p.pvalue, 2) AS last_purchase,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_epoch
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (functions/textops.py::scrub_pii): emails, intl
+    phones, and IPv4 literals become typed placeholders — JVM-side
+    regexp chain, no Python. PII is synthesized onto every third
+    document (the corpus has none) so the oracle checks real
+    replacements, not no-ops."""
+    from aktuell_spark.functions.textops import with_pii_scrub
+
+    d = load(spark, sf_dir, "documents")
+    injected = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 415 555 0100 from 10.0.0.1"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return with_pii_scrub(injected).select("doc_id", "had_pii", "text_scrubbed")
+
+
+SQL_PII_SCRUB = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1 415 555 0100 from 10.0.0.1'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       scrubbed <> text AS had_pii,
+       scrubbed AS text_scrubbed
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
+         AS scrubbed
+  FROM injected
+)
+"""
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Engine-independent sampling audit (functions/sampling.py):
+    membership = md5(key) prefix < threshold, so the exact same rows
+    are selected on any cluster size, retry, or engine — here DuckDB
+    reproduces the sample bit-for-bit. rate=0.1 -> threshold '1999'
+    (pinned in the oracle like the ANN plane constants)."""
+    from aktuell_spark.functions.sampling import stratified_counts
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_counts(d, key="doc_id", stratum="source", rate=0.1)
+
+
+SQL_DETERMINISTIC_SAMPLE = """
+SELECT source,
+       count(*) AS n_total,
+       sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+                THEN 1 ELSE 0 END) AS n_sampled,
+       round(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS realized_rate
+FROM documents
+GROUP BY source
+"""
+
+
+QUERIES.update(
+    {
+        "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+        "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+        "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
+    }
+)
