@@ -304,14 +304,23 @@ class EngineManager:
             self.by_db.setdefault(s.database, []).append(s)
         self.sinks: dict[str, FanoutSink] = {}
 
-    def run(self, max_files_per_trigger: int | None = None) -> dict[str, object]:
-        """Run every database's pipeline to completion (availableNow).
+    def run(
+        self,
+        max_files_per_trigger: int | None = None,
+        trigger: dict | None = None,
+        await_termination: bool = True,
+    ) -> dict[str, object]:
+        """Run every database's pipeline (default: availableNow bounded
+        replay, awaited to completion).
 
         All per-DB streaming queries START before any is awaited, so
         they run concurrently on the shared session — the reference's
         one-goroutine-per-DB shape (manager.go:144-170). Each query has
         its own checkpoint and per-subscription commit markers, so a
         failure in one DB leaves the others' exactly-once state intact.
+        For a forever-running tail pass ``trigger={"processingTime":
+        "2 seconds"}, await_termination=False`` and stop the returned
+        queries yourself (the reference's continuous operating mode).
         """
         queries = {}
         for db, subs in self.by_db.items():
@@ -325,11 +334,13 @@ class EngineManager:
                 config=self.config,
                 max_files_per_trigger=max_files_per_trigger,
                 await_termination=False,
+                trigger=trigger,
             )
             queries[db] = q
             self.sinks[db] = sink
-        for q in queries.values():
-            q.awaitTermination()
+        if await_termination:
+            for q in queries.values():
+                q.awaitTermination()
         return queries
 
     def read(self, database: str, subscription: str) -> DataFrame:
@@ -350,11 +361,16 @@ def run_fanout_pipeline(
     config: EngineConfig | None = None,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
+    trigger: dict | None = None,
 ):
     """One readStream → N per-subscription exactly-once tables.
 
     ``config`` (when given) validates every subscription up front,
     mirroring IsValidSubscription (pkg/sync/manager.go:222-241).
+    Default trigger is availableNow (bounded replay); pass
+    ``trigger={"processingTime": "2 seconds"}`` for the forever-running
+    tail the reference operates as — combine with
+    ``await_termination=False`` and stop the query yourself.
     Returns (query, sink).
     """
     if config is not None:
@@ -369,7 +385,7 @@ def run_fanout_pipeline(
     query = (
         stream.writeStream.foreachBatch(sink.foreach_batch())
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
     if await_termination:

@@ -63,7 +63,14 @@ def main() -> None:
             spark, args.config,
             feed_dir=args.feed, root=args.table, checkpoint_dir=args.checkpoint,
         )
-        mgr.run(max_files_per_trigger=settings.max_files_per_trigger)
+        trig = {"processingTime": "10 seconds"} if args.continuous else None
+        queries = mgr.run(
+            max_files_per_trigger=settings.max_files_per_trigger, trigger=trig,
+            await_termination=not args.continuous,
+        )
+        if args.continuous:
+            for q in queries.values():
+                q.awaitTermination()
         print(json.dumps({"stats": mgr.stats()}))
         return
     for req in ("feed", "table", "checkpoint"):

@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 
 from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
 from aktuell_spark.streaming.bootstrap import EngineConfig
-from aktuell_spark.streaming.fanout import Subscription, run_fanout_pipeline
+from aktuell_spark.streaming.fanout import (
+    EngineManager,
+    Subscription,
+    run_fanout_pipeline,
+)
 from aktuell_spark.streaming.pipeline import run_cdc_pipeline, write_change_feed
 
 
@@ -234,3 +238,56 @@ def test_fanout_merges_run_concurrently(spark, two_collection_feed):
         a = sorted(map(tuple, par_sink.read(s.name).collect()))
         b = sorted(map(tuple, seq_sink.read(s.name).collect()))
         assert a == b and len(a) > 0
+
+
+def test_engine_manager_processing_time_tail(spark, tmp_path):
+    """EngineManager as a forever-running tail (the reference's
+    operating mode): processingTime trigger, mid-run feed append is
+    picked up without a restart, per-DB queries stopped by the caller."""
+    import time
+
+    ddl = (
+        "seq long, op string, database string, collection string, "
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(rows, ddl)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .withColumn("updated_fields", F.lit(None).cast("map<string,string>"))
+            .withColumn("removed_fields", F.lit(None).cast("array<string>"))
+        )
+
+    feed = str(tmp_path / "feed")
+    mk([(1, "insert", "dbA", "t", "a", 0, "u", "a0", None, "2025-01-01 00:00:00")]) \
+        .write.mode("append").parquet(feed)
+
+    mgr = EngineManager(
+        spark, feed, str(tmp_path / "root"), str(tmp_path / "ck"),
+        config=EngineConfig(databases={"dbA": []}),
+        subscriptions=[Subscription(name="s", database="dbA", collection="t")],
+        n_buckets=2,
+    )
+    queries = mgr.run(trigger={"processingTime": "1 second"},
+                      await_termination=False)
+    try:
+        def wait(n):
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    if mgr.read("dbA", "s").count() == n:
+                        return True
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            return False
+
+        assert wait(1), "tail never materialized wave 1"
+        mk([(2, "insert", "dbA", "t", "b", 0, "u", "b0", None, "2025-01-01 00:00:05")]) \
+            .write.mode("append").parquet(feed)
+        assert wait(2), "tail never caught up with the appended wave"
+    finally:
+        for q in queries.values():
+            q.stop()
