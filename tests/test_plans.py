@@ -116,3 +116,41 @@ def test_reconstruct_post_images_no_cartesian(spark):
     assert count_exchanges(df) <= 3, (
         f"reconstruction should be <= 3 exchanges, got {count_exchanges(df)}"
     )
+
+
+def test_deterministic_sample_no_shuffle(spark):
+    from aktuell_spark.functions.sampling import deterministic_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = deterministic_sample(d, "doc_id", 0.1)
+    assert count_exchanges(df) == 0, "hash-membership sampling must not shuffle"
+
+
+def test_pii_scrub_no_shuffle_and_pruned(spark):
+    from aktuell_spark.queries import q_pii_scrub
+
+    df = q_pii_scrub(spark, SF)
+    assert count_exchanges(df) == 0, "regexp scrub is a narrow map"
+    read = read_schema_columns(df)
+    assert set(read) <= {"doc_id", "text"}, f"scan should read only id+text, got {read}"
+
+
+def test_asof_join_single_shuffle_no_nested_loop(spark):
+    from aktuell_spark.queries import q_asof_join
+
+    df = q_asof_join(spark, SF)
+    # union of the two sides + one window partitioned by the key: the
+    # sides each shuffle once into the window's clustering; anything
+    # quadratic (BroadcastNestedLoopJoin / CartesianProduct) is a bug
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 3, f"asof should be union+window shuffles, got {count_exchanges(df)}"
+
+
+def test_resolve_renames_broadcasts_lookup(spark):
+    from aktuell_spark.queries import q_rename_routing
+
+    df = q_rename_routing(spark, SF)
+    assert "SortMergeJoin" not in join_strategies(df), (
+        "rename interval lookup must broadcast, never sort-merge"
+    )

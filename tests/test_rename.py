@@ -98,3 +98,43 @@ def test_fanout_rename_same_batch_pre_rename_rows(spark, tmp_path):
     got = {r["conv_id"]: r["text"] for r in sink.read("on_new").collect()}
     assert got == {"a": "a0", "b": "b0"}
     assert sink.read("on_old").count() == 0
+
+
+# -- property: interval composition == brute-force chain walk ----------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _NAMES = ["a", "b", "c", "d"]
+
+    def _brute_final(markers, c, s):
+        cur, s_cur = c, s
+        for seq, old, new in sorted(markers):
+            if seq > s_cur and old == cur:
+                cur, s_cur = new, seq
+        return cur
+
+    @st.composite
+    def _marker_sets(draw):
+        n = draw(st.integers(0, 6))
+        seqs = draw(st.lists(st.integers(1, 50), min_size=n, max_size=n,
+                             unique=True))
+        out = []
+        for q in seqs:
+            old = draw(st.sampled_from(_NAMES))
+            new = draw(st.sampled_from([x for x in _NAMES if x != old]))
+            out.append((q, old, new))
+        return out
+
+    @given(_marker_sets(), st.sampled_from(_NAMES), st.integers(0, 55))
+    @settings(max_examples=200, deadline=None)
+    def test_rename_intervals_match_brute_force(markers, name, seq):
+        rows = rename_intervals(markers)
+        got = name
+        for (n, lo, hi, final) in rows:
+            if n == name and lo <= seq < hi:
+                got = final
+                break
+        assert got == _brute_final(markers, name, seq)
+except ImportError:  # pragma: no cover
+    pass
