@@ -27,25 +27,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_latest_image(spark, "/root/testdata/sf0.001")
 
 
+_FEED_CACHE: dict[bool, str] = {}
+
+
+def _shared_feed(spark: SparkSession, partial_updates: bool) -> str:
+    """Generate the CDC replay feed ONCE per (partial_updates) shape and
+    share it across the three streaming variants — the generation (a
+    Spark job + file write) used to dominate each variant's cost and the
+    52-query driver run. Tables/checkpoints stay per-call (fresh
+    exactly-once state is the thing under test); the cached feed is
+    read-only input."""
+    from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
+    from aktuell_spark.streaming.pipeline import write_change_feed
+
+    if partial_updates not in _FEED_CACHE:
+        base = tempfile.mkdtemp(prefix="aktuell_feed_")
+        t = gen_transcripts(spark, n_convs=30, avg_turns=8, hot_turns=60, seed=42)
+        ch = gen_transcript_changes(
+            t, seed=42, partial_updates=partial_updates
+        ).localCheckpoint()
+        write_change_feed(ch, f"{base}/feed", n_files=4)
+        _FEED_CACHE[partial_updates] = f"{base}/feed"
+    return _FEED_CACHE[partial_updates]
+
+
 def _stream_cdc(
     spark: SparkSession, merge_on_read: bool, partial_updates: bool = False
 ) -> DataFrame:
     """Full streaming path: generated transcript CDC feed → stream →
     exactly-once foreachBatch MERGE → materialized table."""
-    from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
     from aktuell_spark.session import _ship_package
-    from aktuell_spark.streaming.pipeline import run_cdc_pipeline, write_change_feed
+    from aktuell_spark.streaming.pipeline import run_cdc_pipeline
 
     _ship_package(spark)
+    feed = _shared_feed(spark, partial_updates)
     base = tempfile.mkdtemp(prefix="aktuell_stream_")
     try:
-        t = gen_transcripts(spark, n_convs=50, avg_turns=10, hot_turns=80, seed=42)
-        ch = gen_transcript_changes(
-            t, seed=42, partial_updates=partial_updates
-        ).localCheckpoint()
-        write_change_feed(ch, f"{base}/feed", n_files=4)
         _, table = run_cdc_pipeline(
-            spark, f"{base}/feed", f"{base}/table", f"{base}/ckpt",
+            spark, feed, f"{base}/table", f"{base}/ckpt",
             n_buckets=8, merge_on_read=merge_on_read,
             partial_updates=partial_updates,
         )

@@ -50,6 +50,11 @@ class EngineSettings:
     checkpoint_dir: str = ""
     n_buckets: int = 32
     max_files_per_trigger: int | None = None
+    # sink modes: delta-only feeds (no UpdateLookup post-images — the
+    # reference's common stream shape, pkg/models/types.go:17-18) and
+    # LSM-style merge-on-read ingest; same knobs as jobs/run_pipeline.py
+    partial_updates: bool = False
+    merge_on_read: bool = False
     subscriptions: list[Subscription] = field(default_factory=list)
     databases: EngineConfig = field(default_factory=EngineConfig)
 
@@ -108,6 +113,8 @@ def parse_config(doc: dict) -> EngineSettings:
         checkpoint_dir=eng.get("checkpoint_dir", ""),
         n_buckets=int(eng.get("n_buckets", 32)),
         max_files_per_trigger=int(mft) if mft else None,
+        partial_updates=bool(eng.get("partial_updates", False)),
+        merge_on_read=bool(eng.get("merge_on_read", False)),
         subscriptions=subs,
         databases=EngineConfig(databases=dbs),
     )
@@ -148,5 +155,7 @@ def load_manager(
         config=s.databases,
         subscriptions=s.subscriptions,
         n_buckets=s.n_buckets,
+        partial_updates=s.partial_updates,
+        merge_on_read=s.merge_on_read,
     )
     return mgr, s

@@ -283,6 +283,8 @@ def ivf_assign(emb: DataFrame, centroids, vec_col: str = "embedding", nprobe: in
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def nearest_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.stack([]) raises; empty Arrow batches happen
+            return pd.Series([], dtype=object)
         V = np.stack(vecs.to_numpy()).astype(np.float64)
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
         sims = np.round(Vn @ CnT, 6)

@@ -168,8 +168,16 @@ def scrub_pii(text: Column | str) -> Column:
 
 
 def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """``text`` scrubbed + a flag column marking rows that changed."""
-    scrubbed = scrub_pii(text_col)
-    return df.withColumn("text_scrubbed", scrubbed).withColumn(
-        "had_pii", F.col(text_col) != scrubbed
+    """``text`` scrubbed + a flag column marking rows that changed.
+
+    The three-regexp chain is projected ONCE and ``had_pii`` compares
+    the materialized attribute. Referencing the ``scrub_pii`` expression
+    object from both columns would put two copies of the chain in the
+    plan (and CollapseProject only re-inlines CHEAP expressions, so the
+    attribute reference stays a single evaluation — plan-asserted in
+    tests/test_plans.py). At corpus scale the regex chain IS the scan
+    cost; halving it matters.
+    """
+    return df.withColumn("text_scrubbed", scrub_pii(text_col)).withColumn(
+        "had_pii", F.col(text_col) != F.col("text_scrubbed")
     )

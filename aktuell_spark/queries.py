@@ -1625,8 +1625,8 @@ def q_deterministic_sample(spark, sf_dir):
 SQL_DETERMINISTIC_SAMPLE = """
 SELECT source,
        count(*) AS n_total,
-       sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
-                THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        round(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
                       THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS realized_rate
 FROM documents

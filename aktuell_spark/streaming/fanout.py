@@ -61,11 +61,25 @@ class Subscription:
 class FanoutSink:
     """foreachBatch body that MERGEs one batch into N subscription tables."""
 
-    # reserved negative epoch-id spaces for rename-driven seeds/drops so
+    # Reserved negative epoch-id space for rename-driven seeds/drops so
     # they ride the sink's idempotent commit-marker machinery (distinct
-    # from BucketedUpsertTable.COMPACT_EPOCH_BASE)
-    RENAME_SEED_BASE = -3_000_000_000
-    RENAME_DROP_BASE = -4_000_000_000
+    # from BucketedUpsertTable.COMPACT_EPOCH_BASE at -1e6). ONE base with
+    # step encoded in parity — seed = even offset, drop = odd — so the
+    # two spaces stay disjoint for EVERY rename seq (two separate bases
+    # 1e9 apart collide once seq*100 exceeds the gap; benchmarks replay
+    # 74M-event feeds, so seq routinely passes 10M).
+    RENAME_BASE = -3_000_000_000
+    # reserved space for same-batch rename-chain segment merges
+    # (epoch_id is Spark's small micro-batch counter, segments < 100)
+    RENAME_SEG_BASE = -2_000_000_000
+
+    @classmethod
+    def _seed_epoch(cls, seq: int, si: int) -> int:
+        return cls.RENAME_BASE - seq * 200 - si * 2
+
+    @classmethod
+    def _drop_epoch(cls, seq: int, si: int) -> int:
+        return cls.RENAME_BASE - seq * 200 - si * 2 - 1
 
     def __init__(
         self,
@@ -74,6 +88,7 @@ class FanoutSink:
         subs: list[Subscription],
         n_buckets: int = 32,
         partial_updates: bool = False,
+        merge_on_read: bool = False,
         rename_aware: bool = True,
     ) -> None:
         names = [s.name for s in subs]
@@ -85,9 +100,10 @@ class FanoutSink:
         # the target collection's subscriptions are seeded from the source
         # collection's table, then the source table is truncated (Mongo
         # drops the old namespace). Costs one tiny marker probe per epoch
-        # over the cached batch. Limitation: a multi-hop chain (a->b AND
-        # b->c in the SAME micro-batch) seeds c before b has merged its
-        # own same-batch pre-rename events; split-batch chains are exact.
+        # over the cached batch. Multi-hop chains (a->b AND b->c in the
+        # SAME micro-batch) take the segmented path: the batch is split
+        # at rename seq boundaries and merged hop-by-hop, so each seed
+        # sees the events that arrived before its rename.
         self.rename_aware = rename_aware
         # driver threads submitting concurrent merge jobs per epoch;
         # actions release the GIL while blocked on the JVM, so merges
@@ -100,6 +116,7 @@ class FanoutSink:
                 os.path.join(root, f"sub={s.name}"),
                 n_buckets=n_buckets,
                 partial_updates=partial_updates,
+                merge_on_read=merge_on_read,
             )
             for s in subs
         }
@@ -113,12 +130,41 @@ class FanoutSink:
         batch_df = batch_df.persist()
         try:
             renames = self._detect_renames(batch_df) if self.rename_aware else []
-            if renames:
+            renames.sort()
+            chained = {o for (_s, o, _n, _t) in renames} & {
+                n for (_s, _o, n, _t) in renames
+            }
+            if renames and chained:
+                # Same-batch chain (a->b AND b->c, either seq order): a
+                # rename's SOURCE table must hold its same-batch
+                # pre-rename events before it is seeded from. Split the
+                # batch at rename seq boundaries and merge hop-by-hop;
+                # each segment commits under a reserved per-segment
+                # epoch id, so a crash mid-chain replays exactly.
+                from pyspark.sql import functions as F
+
+                prev = None
+                for i, (seq, old, new, ts) in enumerate(renames):
+                    seg = batch_df.filter(F.col("seq") < seq)
+                    if prev is not None:
+                        seg = seg.filter(F.col("seq") >= prev)
+                    self._merge_subs(
+                        self.subs, seg, self.RENAME_SEG_BASE - epoch_id * 100 - i
+                    )
+                    self._apply_rename(seq, old, new, ts)
+                    prev = seq
+                self._merge_subs(
+                    self.subs, batch_df.filter(F.col("seq") >= prev), epoch_id
+                )
+            elif renames:
+                # independent renames: merge everything that is not a
+                # rename TARGET, move the tables, then merge the targets
+                # (their events are post-rename by construction)
                 target_cols = {new for (_seq, _old, new, _ts) in renames}
                 phase1 = [s for s in pending if s.collection not in target_cols]
                 phase2 = [s for s in pending if s.collection in target_cols]
                 self._merge_subs(phase1, batch_df, epoch_id)
-                for seq, old, new, ts in sorted(renames):
+                for seq, old, new, ts in renames:
                     self._apply_rename(seq, old, new, ts)
                 self._merge_subs(phase2, batch_df, epoch_id)
             else:
@@ -191,10 +237,19 @@ class FanoutSink:
             seed = st._read_raw()
             for tgt in targets:
                 tt = self.tables[tgt.name]
-                seed_epoch = self.RENAME_SEED_BASE - seq * 100 - si
+                seed_epoch = self._seed_epoch(seq, si)
                 if tt.is_committed(seed_epoch) or seed is None:
                     continue
-                sdf = seed.drop("bucket")
+                # Stamp seeded rows' order col to the RENAME seq: the
+                # rename re-creates the target namespace (Mongo
+                # semantics), so seeds must land ABOVE any drop floor an
+                # earlier drop/rename left on the target table (original
+                # seqs could sit below it and be filtered as
+                # resurrections). Post-rename updates carry seq > rename
+                # seq and still win LWW; idempotent across replays.
+                sdf = seed.drop("bucket").withColumn(
+                    tt.order_col, F.lit(seq).cast("long")
+                )
                 if tt.partial_updates:
                     sdf = sdf.withColumn(
                         "updated_fields", F.lit(None).cast("map<string,string>")
@@ -203,7 +258,7 @@ class FanoutSink:
             # truncate the source AFTER all targets seeded: a synthetic
             # drop marker at the rename seq rides the sink's normal
             # drop-floor machinery (idempotent, replay-safe)
-            drop_epoch = self.RENAME_DROP_BASE - seq * 100 - si
+            drop_epoch = self._drop_epoch(seq, si)
             if not st.is_committed(drop_epoch):
                 schema = st._state_schema()
                 vals = []
@@ -282,6 +337,8 @@ class EngineManager:
         config: EngineConfig,
         subscriptions: list[Subscription],
         n_buckets: int = 32,
+        partial_updates: bool = False,
+        merge_on_read: bool = False,
     ) -> None:
         self.spark = spark
         self.feed_dir = feed_dir
@@ -289,6 +346,11 @@ class EngineManager:
         self.checkpoint_dir = checkpoint_dir
         self.config = config
         self.n_buckets = n_buckets
+        # sink modes apply engine-wide, the way the reference's server
+        # options apply to every managed database (cmd/server/main.go
+        # config layer); jobs/run_pipeline.py exposes the same flags
+        self.partial_updates = partial_updates
+        self.merge_on_read = merge_on_read
         self.by_db: dict[str, list[Subscription]] = {}
         for s in subscriptions:
             if not s.database:
@@ -332,6 +394,8 @@ class EngineManager:
                 subs,
                 n_buckets=self.n_buckets,
                 config=self.config,
+                partial_updates=self.partial_updates,
+                merge_on_read=self.merge_on_read,
                 max_files_per_trigger=max_files_per_trigger,
                 await_termination=False,
                 trigger=trigger,
@@ -359,6 +423,8 @@ def run_fanout_pipeline(
     subs: list[Subscription],
     n_buckets: int = 32,
     config: EngineConfig | None = None,
+    partial_updates: bool = False,
+    merge_on_read: bool = False,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
     trigger: dict | None = None,
@@ -380,7 +446,14 @@ def run_fanout_pipeline(
                     f"invalid subscription {s.name!r}: "
                     f"{s.database}/{s.collection} is not configured"
                 )
-    sink = FanoutSink(spark, root, subs, n_buckets=n_buckets)
+    sink = FanoutSink(
+        spark,
+        root,
+        subs,
+        n_buckets=n_buckets,
+        partial_updates=partial_updates,
+        merge_on_read=merge_on_read,
+    )
     stream = read_change_stream(spark, feed_dir, max_files_per_trigger)
     query = (
         stream.writeStream.foreachBatch(sink.foreach_batch())

@@ -42,16 +42,31 @@ def write_change_feed(events: DataFrame, feed_dir: str, n_files: int = 8) -> Non
     nothing), so arrival order must follow seq order: stamp mtimes
     along the path order (part-NNNNN tracks the range partition id).
     """
+    before: set[str] = set()
+    prev_max = 0.0
+    if os.path.isdir(feed_dir):
+        for name in os.listdir(feed_dir):
+            if name.endswith(".parquet"):
+                before.add(name)
+                prev_max = max(prev_max, os.path.getmtime(os.path.join(feed_dir, name)))
     (
         events.repartitionByRange(n_files, "seq")
         .sortWithinPartitions("seq")
         .write.mode("append")
         .parquet(feed_dir)
     )
-    t0 = time.time()
-    for i, name in enumerate(sorted(os.listdir(feed_dir))):
-        if name.endswith(".parquet"):
-            os.utime(os.path.join(feed_dir, name), (t0 + i, t0 + i))
+    # Stamp ONLY the files this call created, strictly after the previous
+    # generation's max mtime — a second append's part-00000-<uuid> sorts
+    # lexically BETWEEN the first generation's files, so re-stamping the
+    # whole listing would break cross-generation arrival order (deltas
+    # before their base images under partial-update replay).
+    t0 = max(time.time(), prev_max + 1.0)
+    new_files = [
+        n for n in sorted(os.listdir(feed_dir))
+        if n.endswith(".parquet") and n not in before
+    ]
+    for i, name in enumerate(new_files):
+        os.utime(os.path.join(feed_dir, name), (t0 + i, t0 + i))
 
 
 def read_change_stream(

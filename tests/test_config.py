@@ -114,6 +114,56 @@ def test_load_manager_runs_end_to_end(spark, tmp_path):
     assert stats["dbA"]["a_turns"]["merged_rows"] == 2
 
 
+def test_load_manager_delta_mor_feed(spark, tmp_path):
+    """The reference's common stream shape — updates WITHOUT post-images
+    (no UpdateLookup, pkg/models/types.go:17-18) — deploys through the
+    YAML entry point: ``engine.partial_updates`` + ``engine.merge_on_read``
+    reach every per-subscription sink, and the materialization is
+    byte-equivalent to the single-pipeline CLI path on the same feed."""
+    from aktuell_spark.fixtures import gen_transcript_changes, gen_transcripts
+    from aktuell_spark.streaming.pipeline import run_cdc_pipeline, write_change_feed
+
+    t = gen_transcripts(spark, n_convs=12, avg_turns=6, hot_turns=20, seed=11)
+    part = gen_transcript_changes(t, seed=11, partial_updates=True).localCheckpoint()
+    feed = str(tmp_path / "feed")
+    write_change_feed(part, feed, n_files=2)
+
+    path = _write(
+        tmp_path,
+        f"""
+        mongodb:
+          databases:
+            - name: aktuell
+              collections: [transcripts]
+        engine:
+          feed_dir: {feed}
+          root: {tmp_path / 'tables'}
+          checkpoint_dir: {tmp_path / 'ckpt'}
+          n_buckets: 4
+          partial_updates: true
+          merge_on_read: true
+        subscriptions:
+          - name: turns
+            database: aktuell
+            collection: transcripts
+        """,
+    )
+    mgr, settings = load_manager(spark, path)
+    assert settings.partial_updates and settings.merge_on_read
+    mgr.run()
+    got = mgr.read("aktuell", "turns")
+
+    # reference result: the single-pipeline path (CoW) on the same feed
+    _, table = run_cdc_pipeline(
+        spark, feed, str(tmp_path / "ref_table"), str(tmp_path / "ref_ckpt"),
+        n_buckets=4, partial_updates=True,
+    )
+    want = table.read()
+    cols = sorted(set(got.columns) & set(want.columns))
+    assert sorted(got.select(*cols).collect()) == sorted(want.select(*cols).collect())
+    assert got.count() > 0
+
+
 def test_load_manager_cli_overrides(spark, tmp_path):
     path = _write(
         tmp_path,

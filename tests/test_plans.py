@@ -135,6 +135,22 @@ def test_pii_scrub_no_shuffle_and_pruned(spark):
     assert set(read) <= {"doc_id", "text"}, f"scan should read only id+text, got {read}"
 
 
+def test_pii_scrub_single_regexp_evaluation(spark):
+    """The three-regexp chain must appear ONCE in the optimized plan:
+    ``had_pii`` compares the materialized ``text_scrubbed`` attribute
+    instead of re-inlining the chain (CollapseProject only duplicates
+    CHEAP expressions, and regexp_replace is not cheap). Two copies
+    doubles the scan cost of a 100 TB text corpus."""
+    from aktuell_spark.functions.textops import with_pii_scrub
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    df = with_pii_scrub(d)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("<EMAIL>") == 1, (
+        f"regexp chain duplicated in plan:\n{plan}"
+    )
+
+
 def test_asof_join_single_shuffle_no_nested_loop(spark):
     from aktuell_spark.queries import q_asof_join
 

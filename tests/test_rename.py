@@ -100,6 +100,64 @@ def test_fanout_rename_same_batch_pre_rename_rows(spark, tmp_path):
     assert sink.read("on_old").count() == 0
 
 
+def test_fanout_rename_chain_same_batch(spark, tmp_path):
+    """a->b AND b->c in ONE micro-batch: the segmented path merges
+    hop-by-hop, so an event destined to b between the two renames still
+    flows through to c — byte-identical to the split-batch replay."""
+    subs = [
+        Subscription(name="on_a", collection="a"),
+        Subscription(name="on_b", collection="b"),
+        Subscription(name="on_c", collection="c"),
+    ]
+    one = _mk(spark, [
+        _ev(1, "insert", "a", "x", "x0", "2025-01-01 00:00:00"),
+        _ev(10, "rename", "a", "", None, "2025-01-01 00:10:00", {"to": "b"}),
+        _ev(15, "insert", "b", "y", "y0", "2025-01-01 00:15:00"),
+        _ev(20, "rename", "b", "", None, "2025-01-01 00:20:00", {"to": "c"}),
+        _ev(25, "insert", "c", "z", "z0", "2025-01-01 00:25:00"),
+    ])
+    sink = FanoutSink(spark, str(tmp_path / "one"), subs, n_buckets=2)
+    sink.merge_batch(one, 0)
+    got = {r["conv_id"]: r["text"] for r in sink.read("on_c").collect()}
+    assert got == {"x": "x0", "y": "y0", "z": "z0"}
+    assert sink.read("on_a").count() == 0
+    assert sink.read("on_b").count() == 0
+
+    # split-batch replay of the same events must match exactly
+    ref = FanoutSink(spark, str(tmp_path / "ref"), subs, n_buckets=2)
+    for i, lohi in enumerate([(0, 10), (10, 20), (20, 99)]):
+        ref.merge_batch(
+            one.filter((F.col("seq") >= lohi[0]) & (F.col("seq") < lohi[1])), i
+        )
+    ref_got = {r["conv_id"]: r["text"] for r in ref.read("on_c").collect()}
+    assert ref_got == got
+
+    # replay of the chained epoch is a no-op (segment + seed/drop markers)
+    sink.merge_batch(one, 0)
+    assert {r["conv_id"] for r in sink.read("on_c").collect()} == {"x", "y", "z"}
+
+
+def test_fanout_rename_chain_reverse_seq_order(spark, tmp_path):
+    """b->c at seq 10 THEN a->b at seq 20 (source of the later rename is
+    the target of the earlier one): x moves to b and STAYS there, y left
+    b at seq 10."""
+    subs = [
+        Subscription(name="on_a", collection="a"),
+        Subscription(name="on_b", collection="b"),
+        Subscription(name="on_c", collection="c"),
+    ]
+    sink = FanoutSink(spark, str(tmp_path / "root"), subs, n_buckets=2)
+    sink.merge_batch(_mk(spark, [
+        _ev(1, "insert", "a", "x", "x0", "2025-01-01 00:00:00"),
+        _ev(5, "insert", "b", "y", "y0", "2025-01-01 00:05:00"),
+        _ev(10, "rename", "b", "", None, "2025-01-01 00:10:00", {"to": "c"}),
+        _ev(20, "rename", "a", "", None, "2025-01-01 00:20:00", {"to": "b"}),
+    ]), 0)
+    assert {r["conv_id"] for r in sink.read("on_b").collect()} == {"x"}
+    assert {r["conv_id"] for r in sink.read("on_c").collect()} == {"y"}
+    assert sink.read("on_a").count() == 0
+
+
 # -- property: interval composition == brute-force chain walk ----------
 try:
     from hypothesis import given, settings

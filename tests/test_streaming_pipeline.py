@@ -102,6 +102,62 @@ def test_subscription_filter_wildcards(spark):
     assert subscription_filter(ch, "aktuell", "nope").count() == 0
 
 
+def test_change_feed_append_keeps_replay_order(spark, tmp_path):
+    """A second ``write_change_feed`` generation must replay AFTER the
+    first: the file source orders the backlog by mtime, and a later
+    append's part-00000-<uuid> sorts lexically BETWEEN the first
+    generation's files — re-stamping the whole listing would let deltas
+    replay before their base images, which partial-update (Mongo)
+    semantics silently drop as orphans. Stamping only the newly created
+    files, offset past the previous max mtime, keeps cross-generation
+    arrival order a correctness contract."""
+    import os
+
+    feed, table_root, ckpt = _dirs(tmp_path)
+    ddl = (
+        "seq long, op string, database string, collection string, conv_id string, "
+        "turn_idx int, role string, text string, tool string, "
+        "updated_fields map<string,string>, removed_fields array<string>, "
+        "ts string, extra map<string,string>"
+    )
+
+    def _mk(rows):
+        return spark.createDataFrame(rows, ddl).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+
+    keys = [("A", 0), ("A", 1), ("B", 0), ("B", 1)]
+    gen1 = _mk([
+        (i + 1, "insert", "aktuell", "transcripts", c, t, "user", f"base-{c}{t}",
+         None, None, None, "2025-01-01 00:00:00", None)
+        for i, (c, t) in enumerate(keys)
+    ])
+    gen2 = _mk([
+        (i + 10, "update", "aktuell", "transcripts", c, t, None, None, None,
+         {"text": f"v2-{c}{t}"}, None, "2025-01-01 01:00:00", None)
+        for i, (c, t) in enumerate(keys)
+    ])
+    write_change_feed(gen1, feed, n_files=2)
+    first = {n: os.path.getmtime(os.path.join(feed, n))
+             for n in os.listdir(feed) if n.endswith(".parquet")}
+    write_change_feed(gen2, feed, n_files=2)
+    second = {n: os.path.getmtime(os.path.join(feed, n))
+              for n in os.listdir(feed) if n.endswith(".parquet")}
+    # generation 1 mtimes untouched; every generation-2 file sorts after
+    for n, mt in first.items():
+        assert second[n] == mt
+    assert min(v for n, v in second.items() if n not in first) > max(first.values())
+
+    # one file per trigger = replay strictly in mtime order; if any delta
+    # arrived before its base it would be dropped as an orphan
+    _, table = run_cdc_pipeline(
+        spark, feed, table_root, ckpt, n_buckets=4,
+        partial_updates=True, max_files_per_trigger=1,
+    )
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert got == {(c, t): f"v2-{c}{t}" for (c, t) in keys}
+
+
 def test_pipeline_with_enrichment(spark, tmp_path):
     """enrich=True materializes per-turn text metrics next to the
     payload; text itself stays byte-identical to the plain path."""
