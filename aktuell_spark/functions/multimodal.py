@@ -3,10 +3,14 @@ processed by Arrow-batched ``mapInPandas``.
 
 Images/audio/video ride as ``binary`` columns next to typed metadata
 (mime, width/height, duration). The Spark-side machinery — schema,
-partition sizing, UDF signature, batch shape — is real and tested; the
-actual codec calls are stubbed (this container ships no image/audio
-libs) behind ``decode_stub`` with a deterministic fake, and raise
-``NotImplementedError`` when a real codec is requested.
+partition sizing, UDF signature, batch shape — is real and tested.
+Two REAL codecs are implemented stdlib-only: PNG header decode
+(signature + IHDR parse with CRC verification, ``decode_png_header``)
+and WAV/RIFF header decode (fmt/data chunk walk, ``decode_wav_header``)
+— the synthesized WAV fixtures round-trip through Python's own ``wave``
+module as independent proof. Deep pixel/sample decode (the part that
+needs PIL/librosa/ffmpeg, absent in this container) remains the
+declared ``decode_stub`` fake.
 
 Scale: ``mapInPandas`` streams Arrow batches; binary payloads never
 materialize on the driver. Partition sizing for blob tables should be
@@ -16,6 +20,8 @@ based, because blob sizes dominate row width.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -85,6 +91,154 @@ def decode_stub(payload: bytes, mime: str) -> list[float]:
         buckets[b % _FEATURE_DIM] += 1
     total = max(sum(buckets), 1)
     return [round(b / total, 6) for b in buckets]
+
+
+# -- real codecs (stdlib only) ----------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_bytes(width: int, height: int, seed: int = 0, color_type: int = 2) -> bytes:
+    """A minimal REAL PNG: signature + IHDR + one zlib IDAT + IEND, with
+    correct chunk CRCs — any standard decoder opens it. Deterministic in
+    (width, height, seed) so planted fixtures are reproducible."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    channels = _PNG_CHANNELS[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    row = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(((x * 31 + y * 17 + seed) % 256) for x in range(row))
+        for y in range(height)
+    )
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def decode_png_header(payload: bytes | None) -> dict | None:
+    """Parse + validate a PNG header: signature, IHDR layout, and the
+    IHDR CRC (a flipped bit anywhere in the header returns None, not
+    garbage dims). Returns width/height/bit_depth/color_type/channels."""
+    if payload is None or len(payload) < 33 or bytes(payload[:8]) != _PNG_SIG:
+        return None
+    length, typ = struct.unpack(">I4s", payload[8:16])
+    if typ != b"IHDR" or length != 13:
+        return None
+    w, h, depth, color, _comp, _filt, _inter = struct.unpack(">IIBBBBB", payload[16:29])
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if crc != (zlib.crc32(bytes(payload[12:29])) & 0xFFFFFFFF):
+        return None
+    return {"width": w, "height": h, "bit_depth": depth,
+            "color_type": color, "channels": _PNG_CHANNELS.get(color)}
+
+
+def wav_bytes(n_samples: int, sample_rate: int = 16000, channels: int = 1,
+              bits: int = 16, seed: int = 0) -> bytes:
+    """A REAL RIFF/WAVE file (PCM fmt + data chunks) — round-trips
+    through Python's stdlib ``wave`` module. Deterministic samples."""
+    data = b"".join(struct.pack("<h", ((i * 997 + seed) % 65536) - 32768)
+                    for i in range(n_samples * channels))
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * bits // 8, channels * bits // 8, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_header(payload: bytes | None) -> dict | None:
+    """Walk RIFF chunks to the fmt + data pair: channels, sample rate,
+    bit depth, sample count. Truncated/foreign bytes return None."""
+    if (payload is None or len(payload) < 36 or bytes(payload[:4]) != b"RIFF"
+            or bytes(payload[8:12]) != b"WAVE"):
+        return None
+    pos, out = 12, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[pos:pos + 8])
+        if cid == b"fmt " and clen >= 16:
+            _f, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", payload[pos + 8:pos + 24])
+            out = {"channels": ch, "sample_rate": rate, "bit_depth": bits}
+        elif cid == b"data" and out is not None:
+            out["n_samples"] = clen // max(1, out["channels"] * out["bit_depth"] // 8)
+            return out
+        pos += 8 + clen + (clen % 2)
+    return out
+
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+    ]
+)
+
+
+def synthesize_real_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic table of REAL decodable blobs: PNG images (varying
+    dims) alternating with WAV audio (varying rates), plus a corrupt
+    payload every 8th row to exercise the validity path. Blobs are built
+    INSIDE mapInPandas — distributed synthesis, nothing on the driver."""
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 32 or 1))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            mimes, payloads = [], []
+            for i in ids:
+                if i % 8 == 7:  # corrupt: truncated signature
+                    mimes.append("image/png")
+                    payloads.append(b"\x89PNG-broken" + bytes([i % 256]) * 16)
+                elif i % 2 == 0:
+                    mimes.append("image/png")
+                    payloads.append(png_bytes(4 + i % 13, 3 + i % 7, seed=seed + i))
+                else:
+                    mimes.append("audio/wav")
+                    payloads.append(wav_bytes(50 + i % 40, 8000 * (1 + i % 3),
+                                              1 + i % 2, seed=seed + i))
+            yield pd.DataFrame({"media_id": ids, "mime": mimes, "payload": payloads})
+
+    return spark.range(0, n, 1, n_parts).mapInPandas(
+        fn,
+        schema="media_id long, mime string, payload binary",
+    )
+
+
+def extract_media_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched header decode over binary payloads: the REAL codec
+    path (PNG IHDR + CRC, WAV RIFF walk). Unknown mimes / corrupt bytes
+    yield valid=false rows — a data-quality signal, not a job failure.
+    Payload is dropped on output (metadata only crosses the shuffle)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, p in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                meta = (decode_png_header(p) if mime == "image/png"
+                        else decode_wav_header(p) if mime == "audio/wav" else None)
+                rows.append({
+                    "media_id": mid, "mime": mime,
+                    "n_bytes": len(p) if p is not None else 0,
+                    "valid": meta is not None,
+                    "width": (meta or {}).get("width"),
+                    "height": (meta or {}).get("height"),
+                    "channels": (meta or {}).get("channels"),
+                    "bit_depth": (meta or {}).get("bit_depth"),
+                    "sample_rate": (meta or {}).get("sample_rate"),
+                    "n_samples": (meta or {}).get("n_samples"),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+
+    return df.mapInPandas(fn, schema=MEDIA_META_SCHEMA)
 
 
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:

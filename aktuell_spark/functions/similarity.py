@@ -362,6 +362,8 @@ def train_ivf_centroids(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "hash",
+    quantize: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic spherical k-means trainer for IVF cells.
 
@@ -378,12 +380,27 @@ def train_ivf_centroids(
     ``knn_ivf`` consumes. Production analogue: k-means|| init + more
     iterations; the loop shape (narrow assign + one agg per pass) is
     already the 100 TB-safe one.
+
+    ``init``: ``"hash"`` (default) spreads seeds by ``xxhash64(id)``;
+    ``"first"`` takes the first k rows by id — the cross-engine-
+    reproducible init the DuckDB oracle mirrors (xxhash64 has no DuckDB
+    equivalent). ``quantize``: round each centroid component to that
+    many decimals after normalization, so an engine whose float-sum
+    order differs (partial aggregation vs sequential) lands on the
+    identical centroid — the same 6-decimal quantization ``ivf_assign``
+    applies to sims.
     """
     import math
 
+    if init == "first":
+        order = (F.col(id_col),)
+    elif init == "hash":
+        order = (F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003)), F.col(id_col))
+    else:
+        raise ValueError(f"unknown init {init!r}")
     seeds = (
         emb.select(id_col, vec_col)
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003)), F.col(id_col))
+        .orderBy(*order)
         .limit(k)
         .collect()  # bounded: k rows — the model, not the data
     )
@@ -399,7 +416,10 @@ def train_ivf_centroids(
         for r in means.collect():  # bounded: <= k rows
             vec = [float(r[f"m{i}"]) for i in range(d)]
             norm = math.sqrt(sum(x * x for x in vec)) or 1.0
-            new[r["cell"]] = [x / norm for x in vec]
+            if quantize is None:
+                new[r["cell"]] = [x / norm for x in vec]
+            else:
+                new[r["cell"]] = [round(x / norm, quantize) for x in vec]
         cents = sorted(new.items())
     return cents
 

@@ -833,9 +833,103 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
+IVF_TRAIN_K = 16
+IVF_TRAIN_ITER = 2
+# embedding dimensionality, pinned like the ANN plane constants (static
+# SQL can't read the array length as a lateral table-function argument)
+IVF_DIM = 64
+
+
+def q_knn_ivf_trained(spark, sf_dir):
+    """IVF ANN over IN-ENGINE TRAINED centroids: ``train_ivf_centroids``
+    (DataFrame-native spherical k-means — narrow vectorized assignment +
+    per-cell avg per pass) with the cross-engine-reproducible config:
+    init = first IVF_TRAIN_K vectors by id, IVF_TRAIN_ITER Lloyd passes,
+    centroids quantized to 6 decimals after each normalization (so
+    engines whose float-sum order differs land on identical centroids).
+    The oracle unrolls the same two Lloyd passes in SQL."""
+    from aktuell_spark.functions.similarity import knn_ivf, train_ivf_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(
+        emb, k=IVF_TRAIN_K, n_iter=IVF_TRAIN_ITER, init="first", quantize=6
+    )
+    return knn_ivf(emb, cents, k=3, nprobe=IVF_NPROBE, max_cell_size=ANN_MAX_BUCKET)
+
+
+def _ivf_lloyd_pass_sql(prev: str, out: str) -> str:
+    """One unrolled Lloyd pass: assign (round-6 cosine, cid-asc ties) →
+    per-cell per-dimension mean → spherical normalization → 6-decimal
+    quantization; empty cells keep the previous centroid."""
+    return f"""
+{out}_a AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                      c.cid ASC) AS crank
+  FROM embeddings e CROSS JOIN {prev} c
+),
+{out}_m AS (
+  SELECT cid, i, avg(embedding[i]::DOUBLE) AS mi
+  FROM {out}_a, generate_series(1, {IVF_DIM}) AS g(i)
+  WHERE crank = 1 GROUP BY cid, i
+),
+{out}_n AS (
+  SELECT cid, CASE WHEN sqrt(sum(mi*mi)) = 0 THEN 1 ELSE sqrt(sum(mi*mi)) END AS nrm
+  FROM {out}_m GROUP BY cid
+),
+{out}_new AS (
+  SELECT m.cid, list(round(m.mi / n.nrm, 6) ORDER BY m.i) AS cvec
+  FROM {out}_m m JOIN {out}_n n USING (cid) GROUP BY m.cid
+),
+{out} AS (
+  SELECT p.cid, coalesce(w.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN {out}_new w USING (cid)
+)"""
+
+
+def _knn_ivf_trained_sql() -> str:
+    assert IVF_TRAIN_ITER == 2  # passes are unrolled below
+    return f"""
+WITH c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_TRAIN_K})
+),{_ivf_lloyd_pass_sql('c0', 'c1')},{_ivf_lloyd_pass_sql('c1', 'c2')},
+scored_cells AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(
+                              e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS crank
+  FROM embeddings e CROSS JOIN c2 c
+),
+indexed AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS rib
+    FROM scored_cells WHERE crank = 1
+  ) WHERE rib <= {ANN_MAX_BUCKET}
+),
+probes AS (SELECT vec_id, embedding, cid FROM scored_cells
+           WHERE crank <= {IVF_NPROBE}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         any_value(round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 6)) AS sim
+  FROM probes q JOIN indexed c ON q.cid = c.cid AND q.vec_id != c.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 QUERIES.update(
     {
         "knn_ivf": (q_knn_ivf, _knn_ivf_sql()),
+        "knn_ivf_trained": (q_knn_ivf_trained, _knn_ivf_trained_sql()),
         "knn_multiprobe": (q_knn_multiprobe, _knn_multiprobe_sql()),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "token_stats_bpe": (q_token_stats_bpe, _token_stats_bpe_sql()),
@@ -910,10 +1004,25 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_media_meta(spark, sf_dir):
+    """REAL multimodal codec path: synthesized decodable PNG/WAV blobs →
+    Arrow-batched header decode (PNG IHDR with CRC check, WAV RIFF chunk
+    walk — stdlib struct/zlib only). Rows-only: blob synthesis uses zlib,
+    which SQL can't reproduce; corrupt payloads surface as valid=false
+    rows rather than job failures."""
+    from aktuell_spark.functions.multimodal import extract_media_meta, synthesize_real_media
+    from aktuell_spark.session import _ship_package
+
+    _ship_package(spark)
+    media = synthesize_real_media(spark, n=256, seed=42)
+    return extract_media_meta(media)
+
+
 QUERIES.update(
     {
         "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
         "multimodal_features": (q_multimodal_features, None),
+        "media_meta": (q_media_meta, None),
     }
 )
 

@@ -210,3 +210,33 @@ def test_train_ivf_centroids_improves_on_fixed(spark):
         return a.groupBy("cell").count().agg(F.max("count")).first()[0]
 
     assert max_cell(trained) <= max_cell(fixed), "training worsened cell balance"
+
+
+def test_trained_ivf_graded_config_recall(spark):
+    """The oracle-graded trainer config (init='first', 2 passes,
+    6-decimal quantization — q_knn_ivf_trained) must hold the same
+    planted-twin recall bar as the corpus-centroid stand-in: quantizing
+    centroids for cross-engine parity must not cost recall."""
+    from aktuell_spark.functions.similarity import knn_ivf, train_ivf_centroids
+
+    corpus = _synthetic_corpus(spark, n=1024)
+    twins = corpus.filter(F.col("vec_id") < 24).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) * 1.05).cast("float")),
+            F.slice("embedding", 2, 15),
+        ).alias("embedding"),
+    )
+    emb = corpus.unionByName(twins)
+    k = 16
+    fixed = [(r["vec_id"], r["embedding"])
+             for r in corpus.filter(F.col("vec_id") < k).collect()]
+    trained = train_ivf_centroids(corpus, k=k, n_iter=2, init="first", quantize=6)
+    assert all(all(x == round(x, 6) for x in v) for _, v in trained)
+
+    def rank1_hits(cents):
+        top = knn_ivf(emb, cents, k=1, nprobe=1).filter(F.col("query_id") < 24)
+        got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+        return sum(1 for q, nb in got.items() if nb == q + 100_000)
+
+    assert rank1_hits(trained) >= rank1_hits(fixed)

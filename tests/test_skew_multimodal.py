@@ -86,3 +86,65 @@ def test_multimodal_unknown_mime_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_stub(b"xx", "application/pdf")
+
+
+# -- real codecs (PNG IHDR + CRC, WAV RIFF) ----------------------------
+
+def test_png_codec_roundtrip_and_corruption():
+    from aktuell_spark.functions.multimodal import decode_png_header, png_bytes
+
+    p = png_bytes(13, 7, seed=3)
+    meta = decode_png_header(p)
+    assert meta == {"width": 13, "height": 7, "bit_depth": 8,
+                    "color_type": 2, "channels": 3}
+    # grayscale variant
+    g = decode_png_header(png_bytes(5, 4, seed=1, color_type=0))
+    assert (g["width"], g["channels"]) == (5, 1)
+    # corruption: truncation, foreign bytes, and a flipped IHDR bit
+    assert decode_png_header(p[:20]) is None
+    assert decode_png_header(b"junk" * 20) is None
+    flipped = bytearray(p)
+    flipped[17] ^= 0x01  # width byte — CRC must catch it
+    assert decode_png_header(bytes(flipped)) is None
+    assert decode_png_header(None) is None
+
+
+def test_wav_codec_matches_stdlib_wave_module():
+    """Independent decoder proof: Python's own wave module reads our
+    synthesized RIFF bytes and agrees with our header parse."""
+    import io
+    import wave
+
+    from aktuell_spark.functions.multimodal import decode_wav_header, wav_bytes
+
+    w = wav_bytes(100, 22050, 2, seed=1)
+    got = decode_wav_header(w)
+    wf = wave.open(io.BytesIO(w))
+    assert got == {"channels": wf.getnchannels(), "sample_rate": wf.getframerate(),
+                   "bit_depth": wf.getsampwidth() * 8, "n_samples": wf.getnframes()}
+    assert decode_wav_header(w[:10]) is None
+
+
+def test_extract_media_meta_distributed(spark):
+    """The Arrow batch path over planted real blobs: every valid PNG row
+    carries its true dims, every WAV its true rate, and the planted
+    corrupt rows (media_id % 8 == 7) come back valid=false."""
+    from aktuell_spark.functions.multimodal import (
+        extract_media_meta,
+        synthesize_real_media,
+    )
+
+    meta = {r["media_id"]: r for r in
+            extract_media_meta(synthesize_real_media(spark, n=64, seed=9)).collect()}
+    assert len(meta) == 64
+    for i, r in meta.items():
+        if i % 8 == 7:
+            assert not r["valid"] and r["width"] is None
+        elif i % 2 == 0:
+            assert r["valid"] and r["mime"] == "image/png"
+            assert (r["width"], r["height"]) == (4 + i % 13, 3 + i % 7)
+            assert r["channels"] == 3 and r["sample_rate"] is None
+        else:
+            assert r["valid"] and r["mime"] == "audio/wav"
+            assert r["sample_rate"] == 8000 * (1 + i % 3)
+            assert r["n_samples"] == 50 + i % 40 and r["width"] is None
