@@ -409,17 +409,25 @@ def train_ivf_centroids(
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     for _ in range(n_iter):
         assigned = ivf_assign(base, cents, "vec", nprobe=1)
-        means = assigned.groupBy("cell").agg(
-            *[F.avg(F.element_at("vec", i + 1)).alias(f"m{i}") for i in range(d)]
+        # per-cell per-dimension mean via posexplode + one hash agg over
+        # (cell, dim) — k*d tiny rows through the shuffle; measured
+        # faster than k*d separate avg() expressions (64-wide codegen)
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("_i", "_x"))
+            .groupBy("cell", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()  # bounded: k*d rows — the model, not the data
         )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [0.0] * d)[r["_i"]] = float(r["_m"])
         new = dict(cents)
-        for r in means.collect():  # bounded: <= k rows
-            vec = [float(r[f"m{i}"]) for i in range(d)]
+        for cell, vec in by_cell.items():
             norm = math.sqrt(sum(x * x for x in vec)) or 1.0
             if quantize is None:
-                new[r["cell"]] = [x / norm for x in vec]
+                new[cell] = [x / norm for x in vec]
             else:
-                new[r["cell"]] = [round(x / norm, quantize) for x in vec]
+                new[cell] = [round(x / norm, quantize) for x in vec]
         cents = sorted(new.items())
     return cents
 

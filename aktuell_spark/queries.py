@@ -838,6 +838,11 @@ IVF_TRAIN_ITER = 2
 # embedding dimensionality, pinned like the ANN plane constants (static
 # SQL can't read the array length as a lateral table-function argument)
 IVF_DIM = 64
+# training sample bound: k-means trains on a deterministic subset, never
+# the full corpus — at 100 TB a full-corpus Lloyd pass is the bug, not
+# the feature (the index is built over everything; only the centroid
+# FIT uses the sample)
+IVF_TRAIN_SAMPLE = 2000
 
 
 def q_knn_ivf_trained(spark, sf_dir):
@@ -847,12 +852,15 @@ def q_knn_ivf_trained(spark, sf_dir):
     init = first IVF_TRAIN_K vectors by id, IVF_TRAIN_ITER Lloyd passes,
     centroids quantized to 6 decimals after each normalization (so
     engines whose float-sum order differs land on identical centroids).
+    Training fits on the first IVF_TRAIN_SAMPLE vectors only (k-means
+    always fits on a sample at scale); the INDEX covers the full corpus.
     The oracle unrolls the same two Lloyd passes in SQL."""
     from aktuell_spark.functions.similarity import knn_ivf, train_ivf_centroids
 
     emb = load(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(
-        emb, k=IVF_TRAIN_K, n_iter=IVF_TRAIN_ITER, init="first", quantize=6
+        emb.filter(F.col("vec_id") < IVF_TRAIN_SAMPLE),
+        k=IVF_TRAIN_K, n_iter=IVF_TRAIN_ITER, init="first", quantize=6,
     )
     return knn_ivf(emb, cents, k=3, nprobe=IVF_NPROBE, max_cell_size=ANN_MAX_BUCKET)
 
@@ -867,7 +875,7 @@ def _ivf_lloyd_pass_sql(prev: str, out: str) -> str:
          row_number() OVER (PARTITION BY e.vec_id
              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
                       c.cid ASC) AS crank
-  FROM embeddings e CROSS JOIN {prev} c
+  FROM train_sample e CROSS JOIN {prev} c
 ),
 {out}_m AS (
   SELECT cid, i, avg(embedding[i]::DOUBLE) AS mi
@@ -891,9 +899,12 @@ def _ivf_lloyd_pass_sql(prev: str, out: str) -> str:
 def _knn_ivf_trained_sql() -> str:
     assert IVF_TRAIN_ITER == 2  # passes are unrolled below
     return f"""
-WITH c0 AS (
+WITH train_sample AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {IVF_TRAIN_SAMPLE}
+),
+c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_TRAIN_K})
+  FROM (SELECT vec_id, embedding FROM train_sample ORDER BY vec_id LIMIT {IVF_TRAIN_K})
 ),{_ivf_lloyd_pass_sql('c0', 'c1')},{_ivf_lloyd_pass_sql('c1', 'c2')},
 scored_cells AS (
   SELECT e.vec_id, e.embedding, c.cid,
