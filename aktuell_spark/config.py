@@ -133,13 +133,19 @@ def load_manager(
     feed_dir: str | None = None,
     root: str | None = None,
     checkpoint_dir: str | None = None,
+    partial_updates: bool | None = None,
+    merge_on_read: bool | None = None,
 ) -> tuple[EngineManager, EngineSettings]:
     """Build an ``EngineManager`` from a YAML config file.
 
-    CLI flags may override the path-like settings (the reference's
-    viper env-var override layer, main.go:156-159).
+    CLI flags may override the path-like settings and the sink modes
+    (the reference's viper env-var override layer, main.go:156-159).
     """
     s = load_settings(path)
+    if partial_updates is not None:
+        s.partial_updates = partial_updates
+    if merge_on_read is not None:
+        s.merge_on_read = merge_on_read
     feed = feed_dir or s.feed_dir
     tbl = root or s.root
     ckpt = checkpoint_dir or s.checkpoint_dir

@@ -1761,3 +1761,171 @@ QUERIES.update(
         "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
     }
 )
+
+
+# ----------------------------------------------------------------------
+# Round-4 widening: CEP sequence detection, SCD2 history, winnowing
+# fingerprints
+# ----------------------------------------------------------------------
+
+def q_cep_funnel(spark, sf_dir):
+    """CEP pattern detection (operators/cep.py): contiguous
+    view→click→purchase funnels per user within 48 h — the
+    MATCH_RECOGNIZE-style primitive the reference's one-event-at-a-time
+    handler chain (pkg/client/client.go:299-326) cannot express. One
+    keyed shuffle; every step is a lead over the same window."""
+    from aktuell_spark.operators.cep import detect_sequence
+
+    ev = load(spark, sf_dir, "events")
+    return detect_sequence(
+        ev,
+        steps=["event_type = 'view'", "event_type = 'click'",
+               "event_type = 'purchase'"],
+        key_col="user_id", order_col="event_id", ts_col="ts",
+        within_seconds=172_800,
+    )
+
+
+SQL_CEP_FUNNEL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         event_type,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2,
+         lead(event_id, 2)   OVER w AS end_event_id,
+         lead(ts, 2)         OVER w AS end_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id AS start_event_id, ts AS start_ts,
+       end_event_id, end_ts,
+       CAST(floor(epoch(end_ts)) AS BIGINT)
+         - CAST(floor(epoch(ts)) AS BIGINT) AS span_seconds
+FROM o
+WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+  AND CAST(floor(epoch(end_ts)) AS BIGINT)
+        - CAST(floor(epoch(ts)) AS BIGINT) <= 172800
+"""
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 history (operators/history.py): every key version
+    with its validity interval — the time-travel view the reference's
+    in-place client merge cannot answer (useAktuellStream.ts:133-165).
+    One keyed shuffle; row_number + lead share a single window node."""
+    from aktuell_spark.operators.history import scd2_history
+
+    ev = load(spark, sf_dir, "events")
+    h = scd2_history(ev, key=("user_id",), order_col="event_id",
+                     op_col="event_type")
+    return h.select(
+        "user_id", "version",
+        F.col("event_type").alias("op"),
+        F.round("value", 2).alias("value"),
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+SQL_SCD2_HISTORY = """
+SELECT user_id,
+       row_number() OVER w AS version,
+       event_type AS op,
+       round(value, 2) AS value,
+       event_id AS valid_from,
+       lead(event_id) OVER w AS valid_to,
+       (lead(event_id) OVER w IS NULL AND event_type <> 'delete') AS is_current
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+# pair-query guards, pinned for the static oracle (production passes
+# them per corpus): the synthetic docs share a heavy vocabulary (median
+# fingerprint appears in 3 docs, p90 in 30), so a permissive min_shared
+# degenerates toward all-pairs — 10/6 keeps the pair set the near-dup
+# tail (24 pairs at sf0.01, 6 at sf0.1)
+WINNOW_MIN_SHARED = 6
+WINNOW_MAX_DF = 10
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (functions/winnow.py — MOSS rolling-hash
+    document fingerprinting): sorted distinct window-min k-gram hashes,
+    bit-for-bit reproduced by the oracle (md5-hex hashes compare
+    lexicographically in both engines)."""
+    from aktuell_spark.functions.winnow import with_winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    fp = with_winnow_fingerprints(d.select("doc_id", "text"))
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fps"),
+        F.concat_ws(",", "fingerprints").alias("fps_str"),
+    )
+
+
+def _winnow_norm_sql() -> str:
+    from aktuell_spark.functions.winnow import WINNOW_K, WINNOW_W
+
+    return f"""
+n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         [substring(md5(substring(t, i, {WINNOW_K})), 1, 8)
+          FOR i IN range(1, len(t) - {WINNOW_K} + 2)] AS hs
+  FROM n WHERE len(t) >= {WINNOW_K}
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) < {WINNOW_W} THEN [list_min(hs)]
+              ELSE [list_min(hs[i : i + {WINNOW_W} - 1])
+                    FOR i IN range(1, len(hs) - {WINNOW_W} + 2)]
+         END AS mins
+  FROM h
+),
+fps AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)"""
+
+
+def _winnow_fingerprints_sql() -> str:
+    return f"""
+WITH {_winnow_norm_sql()}
+SELECT doc_id, len(fps) AS n_fps, array_to_string(fps, ',') AS fps_str
+FROM fps
+"""
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing overlap pairs: inverted fingerprint index join with the
+    max_df stop-fingerprint guard — shared-substring detection without
+    pairwise comparison (same never-all-pairs shape as MinHash-LSH)."""
+    from aktuell_spark.functions.winnow import winnow_overlap_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d.select("doc_id", "text"),
+        min_shared=WINNOW_MIN_SHARED, max_df=WINNOW_MAX_DF,
+    )
+
+
+def _winnow_pairs_sql() -> str:
+    return f"""
+WITH {_winnow_norm_sql()},
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+kept AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM fp a JOIN kept USING (fp) JOIN fp b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+QUERIES.update(
+    {
+        "cep_funnel": (q_cep_funnel, SQL_CEP_FUNNEL),
+        "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+        "winnow_fingerprints": (q_winnow_fingerprints, _winnow_fingerprints_sql()),
+        "winnow_pairs": (q_winnow_pairs, _winnow_pairs_sql()),
+    }
+)

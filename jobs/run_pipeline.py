@@ -62,6 +62,9 @@ def main() -> None:
         mgr, settings = load_manager(
             spark, args.config,
             feed_dir=args.feed, root=args.table, checkpoint_dir=args.checkpoint,
+            # CLI mode flags override the YAML engine block when set
+            partial_updates=args.partial_updates or None,
+            merge_on_read=args.merge_on_read or None,
         )
         trig = {"processingTime": "10 seconds"} if args.continuous else None
         queries = mgr.run(
