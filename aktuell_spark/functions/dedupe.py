@@ -62,16 +62,11 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     split expression into every element access after project collapse —
     measured ~10× slower.)
     """
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
-    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
-    grams = F.slice(t, 1, m)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(t, 1 + j, m), lambda x, y: F.concat(x, F.lit(" "), y)
-        )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(grams)).alias("shingle"),
+        F.explode(F.array_distinct(_token_ngrams(F.col(text_col), n))).alias(
+            "shingle"
+        ),
     )
 
 
@@ -291,3 +286,84 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else (sim + bit)
     return votes.select("doc_id", sim.alias("simhash"))
+
+
+def contamination_overlap(
+    df: DataFrame,
+    bench_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing word ``n``-grams
+    with a held-out benchmark set (the standard n-gram-overlap decontam
+    check LLM data pipelines run before training; n=8..13 in published
+    pipelines).
+
+    ``bench_pred`` is a Column predicate selecting the benchmark rows;
+    every other row is the training side. Output: one row per
+    CONTAMINATED training doc — (doc_id, n_overlap_grams,
+    n_grams, overlap_frac) where n_overlap_grams counts the doc's
+    distinct n-grams that also occur anywhere in the benchmark set.
+
+    Scale shape: distinct n-grams are hashed to 16-hex md5 prefixes
+    (identical in Spark and DuckDB — no engine-specific 64-bit hash) so
+    the join key is 16 bytes regardless of gram length; the benchmark
+    gram set is deduplicated, then a plain equi-join on the hash +
+    one groupBy(doc_id) — both map-side combinable, no pairwise
+    comparison anywhere. At 100 TB the benchmark side is tiny relative
+    to the corpus (benchmarks are MBs); AQE will broadcast it, and the
+    training side streams through one shuffle on the gram hash.
+    """
+    grams = shingles(df.filter(~bench_pred), id_col, text_col, n).withColumn(
+        "gh", F.substring(F.md5("shingle"), 1, 16)
+    )
+    bench = (
+        shingles(df.filter(bench_pred), id_col, text_col, n)
+        .select(F.substring(F.md5("shingle"), 1, 16).alias("gh"))
+        .distinct()
+    )
+    per_doc = (
+        df.filter(~bench_pred)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.size(
+                    F.array_distinct(
+                        _token_ngrams(F.col("text"), n)
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_grams"),
+        )
+    )
+    hits = (
+        grams.join(bench, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
+    )
+    return (
+        hits.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_overlap_grams",
+            "n_grams",
+            F.round(F.col("n_overlap_grams") / F.col("n_grams"), 4).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+def _token_ngrams(text_col, n: int):
+    """Word n-gram string array via the shifted-slice fold (same idiom
+    as :func:`shingles`; constant references per row)."""
+    t = F.split(F.trim(text_col), r"\s+")
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.slice(t, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, 1 + j, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return grams

@@ -463,3 +463,104 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ----------------------------------------------------------------------
+# int8 scalar quantization (the SQ8 compression every vector store uses
+# at scale: 4× smaller vectors, integer dot products). Per-vector
+# symmetric quantization — scale = 127/max|x|, q = floor(x·scale + 0.5)
+# — keeps COSINE exact up to quantization error because the per-vector
+# scale cancels in dot/(|a||b|). All arithmetic is double-precision IEEE
+# then integer, so the DuckDB oracle reproduces every quantized value
+# bit-for-bit (no engine rounding-mode divergence: floor(x+0.5) instead
+# of round()'s HALF_UP-vs-banker's ambiguity).
+# ----------------------------------------------------------------------
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Add ``out_col``: the int8-range quantized vector (as array<long>)
+    and ``qnorm``: its exact integer squared norm.
+
+    Plan care (§8.4): the scale factor is paired with the elements via
+    ``zip_with(v, array_repeat(scale, size(v)))`` so the max-abs chain
+    is evaluated once per ROW; putting ``scale`` inside a ``transform``
+    lambda would re-inline the array_max chain per ELEMENT after
+    project collapse. Zero shuffle, zero Python.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = emb.withColumn("_v", v).withColumn(
+        "_amax", F.array_max(F.transform(F.col("_v"), F.abs))
+    )
+    scale = F.when(F.col("_amax") > 0, F.lit(127.0) / F.col("_amax")).otherwise(
+        F.lit(0.0)
+    )
+    q = F.zip_with(
+        F.col("_v"),
+        F.array_repeat(scale, F.size(F.col("_v"))),
+        lambda x, s: F.floor(x * s + F.lit(0.5)),
+    )
+    df = df.withColumn(out_col, q).withColumn(
+        "qnorm",
+        F.aggregate(
+            F.col(out_col),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ),
+    )
+    return df.drop("_v", "_amax")
+
+
+def knn_quantized(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors computed entirely on int8-quantized
+    vectors (integer dot products; exact up to quantization error).
+
+    Same output contract as :func:`knn_bruteforce`. The scan reads 4×
+    fewer vector bytes at scale, and the dot product is an integer fold
+    inside codegen — this is the compression leg of the ANN family
+    (bucketing legs: LSH/IVF). Broadcast query side; ties broken
+    (sim desc, neighbor_id asc).
+    """
+    qz = quantize_int8(emb, vec_col)
+    q = qz.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_q"),
+        F.col("qnorm").alias("qn_q"),
+    )
+    c = qz.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("q_c"),
+        F.col("qnorm").alias("qn_c"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("q_c"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.when(
+                (F.col("qn_q") > 0) & (F.col("qn_c") > 0),
+                F.round(
+                    dot / (F.sqrt(F.col("qn_q")) * F.sqrt(F.col("qn_c"))), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

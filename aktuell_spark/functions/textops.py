@@ -13,6 +13,8 @@ column pruning (only ``text`` + id are read).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under
+#                      postponed annotation evaluation (PEP 563 strings)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -180,4 +182,133 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     return df.withColumn("text_scrubbed", scrub_pii(text_col)).withColumn(
         "had_pii", F.col(text_col) != F.col("text_scrubbed")
+    )
+
+
+# ----------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+# Models" §A1.1 — public spec). Per-document word n-gram repetition:
+#   top2gram_frac / top3gram_frac — fraction of word characters covered
+#     by the single most frequent word 2-/3-gram (count × chars, clamped
+#     at 1.0 — overlapping occurrences can exceed the total),
+#   dup5gram_frac — true character COVERAGE of duplicated 5-grams: the
+#     union of token positions inside any 5-gram occurring ≥ twice
+#     (count × chars would double-count overlaps — a looping doc
+#     measured 4.0 under it),
+# with the published flag thresholds (0.20 / 0.18 / 0.15).
+#
+# Scale shape: each document is scored INDEPENDENTLY, so the right
+# 100 TB plan is a zero-shuffle narrow map — NOT explode + groupBy
+# (which would shuffle the full token stream, ~2× corpus bytes, just to
+# count within-row frequencies). Within-row counting needs a frequency
+# map, which built-in higher-order functions can only express as an
+# O(n²) per-element filter scan that also trips the §8.4 CollapseProject
+# re-evaluation trap — so this is one of the few places the engine uses
+# a vectorized Arrow pandas UDF (Counter per doc, O(n)), per the
+# round brief's UDF escape hatch. The UDF emits exact INTEGER
+# numerators/denominators; fractions and flags are derived JVM-side
+# (F.round + integer compares), keeping float policy identical to the
+# DuckDB oracle.
+# ----------------------------------------------------------------------
+
+# published Gopher thresholds, as (numerator multiplier, denominator
+# multiplier) integer pairs so flag math is exact in both engines:
+#   frac > 0.20  ⇔  chars * 5  > total
+#   frac > 0.18  ⇔  chars * 50 > total * 9
+#   frac > 0.15  ⇔  chars * 20 > total * 3
+REP_TOP2_THRESH = (5, 1)
+REP_TOP3_THRESH = (50, 9)
+REP_DUP5_THRESH = (20, 3)
+
+_REP_STRUCT = (
+    "total_chars long, n_tokens long, top2_chars long, "
+    "top3_chars long, dup5_chars long"
+)
+
+
+def _repetition_counts_udf():
+    """Vectorized pandas UDF: per-doc n-gram repetition numerators.
+
+    chars(gram) = sum of its tokens' lengths (joining spaces excluded);
+    total_chars = sum of all token lengths. All outputs are exact
+    integers — no float leaves Python, so engine float policy cannot
+    diverge.
+    """
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_REP_STRUCT)
+    def rep_counts(text: pd.Series) -> pd.DataFrame:
+        out = {k: [] for k in
+               ("total_chars", "n_tokens", "top2_chars", "top3_chars",
+                "dup5_chars")}
+        for t in text:
+            toks = (t or "").strip().split()
+            lens = [len(x) for x in toks]
+            total = sum(lens)
+            n = len(toks)
+
+            def top_gram_chars(size: int) -> int:
+                if n < size:
+                    return 0
+                c = Counter(tuple(toks[i:i + size])
+                            for i in range(n - size + 1))
+                return max(cnt * sum(len(w) for w in g)
+                           for g, cnt in c.items())
+
+            def dup_coverage_chars(size: int) -> int:
+                if n < size:
+                    return 0
+                c = Counter(tuple(toks[i:i + size])
+                            for i in range(n - size + 1))
+                covered: set[int] = set()
+                for i in range(n - size + 1):
+                    if c[tuple(toks[i:i + size])] >= 2:
+                        covered.update(range(i, i + size))
+                return sum(lens[j] for j in covered)
+
+            out["total_chars"].append(total)
+            out["n_tokens"].append(n)
+            out["top2_chars"].append(top_gram_chars(2))
+            out["top3_chars"].append(top_gram_chars(3))
+            out["dup5_chars"].append(dup_coverage_chars(5))
+        return pd.DataFrame(out)
+
+    return rep_counts
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition stats + flags; zero-shuffle narrow map.
+
+    Emits ``n_tokens``, the three character-coverage fractions (rounded
+    4 places, JVM ``F.round`` so HALF_UP matches the oracle), and
+    ``flag_repetitive`` — true when ANY published threshold trips.
+    Flags compare integers (no float boundary risk).
+    """
+    rep = _repetition_counts_udf()
+    df = df.withColumn("_rep", rep(F.col(text_col)))
+    r = F.col("_rep")
+    total = r["total_chars"]
+
+    def frac(c: Column) -> Column:
+        return F.when(
+            total > 0, F.least(F.round(c / total, 4), F.lit(1.0))
+        ).otherwise(F.lit(0.0))
+
+    (t2n, t2d), (t3n, t3d), (d5n, d5d) = (
+        REP_TOP2_THRESH, REP_TOP3_THRESH, REP_DUP5_THRESH,
+    )
+    flag = (
+        (r["top2_chars"] * t2n > total * t2d)
+        | (r["top3_chars"] * t3n > total * t3d)
+        | (r["dup5_chars"] * d5n > total * d5d)
+    )
+    return (
+        df.withColumn("n_tokens", r["n_tokens"])
+        .withColumn("top2gram_frac", frac(r["top2_chars"]))
+        .withColumn("top3gram_frac", frac(r["top3_chars"]))
+        .withColumn("dup5gram_frac", frac(r["dup5_chars"]))
+        .withColumn("flag_repetitive", flag)
+        .drop("_rep")
     )

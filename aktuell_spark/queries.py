@@ -1929,3 +1929,206 @@ QUERIES.update(
         "winnow_pairs": (q_winnow_pairs, _winnow_pairs_sql()),
     }
 )
+
+
+# ----------------------------------------------------------------------
+# Round-4 widening, part 2: Gopher repetition filters, benchmark
+# decontamination, int8-quantized ANN
+# ----------------------------------------------------------------------
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style per-doc repetition filters (top-2/3-gram char
+    coverage, duplicate-5-gram char coverage) with the published flag
+    thresholds. Zero-shuffle narrow map (Arrow pandas UDF emits exact
+    integer numerators; fractions/flags derived JVM-side)."""
+    from aktuell_spark.functions.textops import with_repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id", "n_tokens", "top2gram_frac", "top3gram_frac",
+        "dup5gram_frac", "flag_repetitive",
+    )
+
+
+def _gopher_gram_sql(n: int) -> str:
+    """One unnested-gram CTE body for word n-grams (1-indexed DuckDB)."""
+    joined = " || ' ' || ".join(
+        f"toks[i+{k}]" if k else "toks[i]" for k in range(n)
+    )
+    hi = f"len(toks) - {n - 2}" if n > 1 else "len(toks) + 1"
+    return (
+        f"SELECT doc_id, unnest([{joined} FOR i IN range(1, {hi})]) AS g\n"
+        f"  FROM t WHERE len(toks) >= {n}"
+    )
+
+
+def _gopher_repetition_sql() -> str:
+    from aktuell_spark.functions.textops import (
+        REP_TOP2_THRESH, REP_TOP3_THRESH, REP_DUP5_THRESH,
+    )
+
+    (t2n, t2d), (t3n, t3d), (d5n, d5d) = (
+        REP_TOP2_THRESH, REP_TOP3_THRESH, REP_DUP5_THRESH,
+    )
+    gram5 = " || ' ' || ".join(
+        f"toks[i+{k}]" if k else "toks[i]" for k in range(5)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS total_chars
+  FROM documents
+),
+g2 AS ({_gopher_gram_sql(2)}),
+a2 AS (
+  SELECT doc_id, max(c * chars) AS top2_chars FROM (
+    SELECT doc_id, count(*) AS c, length(g) - 1 AS chars
+    FROM g2 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+g3 AS ({_gopher_gram_sql(3)}),
+a3 AS (
+  SELECT doc_id, max(c * chars) AS top3_chars FROM (
+    SELECT doc_id, count(*) AS c, length(g) - 2 AS chars
+    FROM g3 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id,
+         unnest(range(1, len(toks) - 3)) AS i,
+         unnest([{gram5} FOR i IN range(1, len(toks) - 3)]) AS g
+  FROM t WHERE len(toks) >= 5
+),
+dup5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) >= 2),
+cov5 AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT g5.doc_id, unnest(range(g5.i, g5.i + 5)) AS j
+    FROM g5 JOIN dup5 USING (doc_id, g))
+),
+a5 AS (
+  SELECT cov5.doc_id,
+         CAST(sum(length(t.toks[cov5.j])) AS BIGINT) AS dup5_chars
+  FROM cov5 JOIN t ON cov5.doc_id = t.doc_id GROUP BY cov5.doc_id
+),
+j AS (
+  SELECT t.doc_id, len(toks) AS n_tokens, total_chars,
+         coalesce(top2_chars, 0) AS top2_chars,
+         coalesce(top3_chars, 0) AS top3_chars,
+         coalesce(dup5_chars, 0) AS dup5_chars
+  FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+         LEFT JOIN a5 USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+  CASE WHEN total_chars > 0
+       THEN least(round(top2_chars * 1.0 / total_chars, 4), 1.0) ELSE 0.0
+  END AS top2gram_frac,
+  CASE WHEN total_chars > 0
+       THEN least(round(top3_chars * 1.0 / total_chars, 4), 1.0) ELSE 0.0
+  END AS top3gram_frac,
+  CASE WHEN total_chars > 0
+       THEN least(round(dup5_chars * 1.0 / total_chars, 4), 1.0) ELSE 0.0
+  END AS dup5gram_frac,
+  (top2_chars * {t2n} > total_chars * {t2d}
+   OR top3_chars * {t3n} > total_chars * {t3d}
+   OR dup5_chars * {d5n} > total_chars * {d5d}) AS flag_repetitive
+FROM j
+"""
+
+
+DECONTAM_N = 8  # word n-gram length (published pipelines use 8..13)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word 8-gram
+    with the (deterministic, doc_id % 17 == 0) benchmark subset. One
+    equi-join on 16-hex md5 gram hashes + one groupBy — never pairwise."""
+    from aktuell_spark.functions.dedupe import contamination_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs, F.col("doc_id") % 17 == 0, n=DECONTAM_N
+    )
+
+
+def _decontaminate_sql() -> str:
+    n = DECONTAM_N
+    joined = " || ' ' || ".join(
+        f"toks[i+{k}]" if k else "toks[i]" for k in range(n)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, doc_id % 17 = 0 AS is_bench,
+         unnest(list_distinct(
+           [{joined} FOR i IN range(1, len(toks) - {n - 2})])) AS g
+  FROM t WHERE len(toks) >= {n}
+),
+h AS (SELECT doc_id, is_bench, substring(md5(g), 1, 16) AS gh FROM g),
+bench AS (SELECT DISTINCT gh FROM h WHERE is_bench),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams FROM h WHERE NOT is_bench
+  GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_overlap_grams
+  FROM h JOIN bench USING (gh) WHERE NOT is_bench GROUP BY doc_id
+)
+SELECT doc_id, n_overlap_grams, n_grams,
+       round(n_overlap_grams * 1.0 / n_grams, 4) AS overlap_frac
+FROM hits JOIN per_doc USING (doc_id)
+"""
+
+
+def q_ann_quantized(spark, sf_dir):
+    """Top-5 cosine neighbors for query vectors 0..9 computed entirely
+    on int8-quantized vectors (integer dot products, per-vector scale
+    cancels in cosine). The compression leg of the ANN family — 4×
+    fewer vector bytes on the scan at corpus scale."""
+    from aktuell_spark.functions.similarity import knn_quantized
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_quantized(emb, list(range(10)), k=5)
+
+
+SQL_ANN_QUANTIZED = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale
+  FROM (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) AS amax FROM v)
+),
+q AS (
+  SELECT vec_id,
+         [CAST(floor(x * scale + 0.5) AS BIGINT) FOR x IN v] AS qv
+  FROM s
+),
+qn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CASE WHEN a.nrm > 0 AND b.nrm > 0
+              THEN round(list_dot_product(a.qv, b.qv)
+                         / (sqrt(a.nrm) * sqrt(b.nrm)), 6)
+              ELSE 0.0 END AS sim
+  FROM qn a JOIN qn b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 10
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+QUERIES.update(
+    {
+        "gopher_repetition": (q_gopher_repetition, _gopher_repetition_sql()),
+        "decontaminate": (q_decontaminate, _decontaminate_sql()),
+        "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
+    }
+)

@@ -1,0 +1,138 @@
+"""Round-4 widening part 2: Gopher repetition filters, benchmark
+decontamination, int8-quantized ANN."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aktuell_spark.functions.dedupe import contamination_overlap
+from aktuell_spark.functions.similarity import knn_bruteforce, knn_quantized, quantize_int8
+from aktuell_spark.functions.textops import with_repetition_stats
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# -- Gopher repetition -------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_planted_loop_flags(spark):
+    df = _docs(spark, [
+        # doc 0: "ab cd" repeated 10× — top 2-gram covers ALL chars
+        (0, " ".join(["ab cd"] * 10)),
+        # doc 1: all-distinct tokens, long enough that a single bigram
+        # occurrence stays under every threshold (Gopher's fractions
+        # legitimately flag very short docs)
+        (1, " ".join(f"tok{i:03d}" for i in range(40))),
+    ])
+    got = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert got[0]["flag_repetitive"] and got[0]["top2gram_frac"] == 1.0
+    # 5-gram "ab cd ab cd ab" etc. all duplicated → full coverage
+    assert got[0]["dup5gram_frac"] == 1.0
+    assert not got[1]["flag_repetitive"]
+    assert got[1]["top3gram_frac"] < 0.5 and got[1]["dup5gram_frac"] == 0.0
+
+
+def test_repetition_hand_computed(spark):
+    # "aa bb aa bb cc": 2-grams = aa bb(×2), bb aa, bb cc → top2 = 2*4=8
+    # of total 10 chars; 3-grams all distinct (max count 1, chars 6);
+    # no 5-gram dup (only one 5-gram).
+    df = _docs(spark, [(0, "aa bb aa bb cc")])
+    r = with_repetition_stats(df).collect()[0]
+    assert r["n_tokens"] == 5
+    assert r["top2gram_frac"] == 0.8
+    assert r["top3gram_frac"] == 0.6
+    assert r["dup5gram_frac"] == 0.0
+    assert r["flag_repetitive"]  # 0.8 > 0.20
+
+
+def test_repetition_short_docs_no_crash(spark):
+    df = _docs(spark, [(0, "solo"), (1, "two words"), (2, "")])
+    got = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert got[0]["top2gram_frac"] == 0.0
+    assert not got[2]["flag_repetitive"]
+
+
+def test_repetition_no_shuffle_single_udf_eval(spark):
+    from aktuell_spark.plans.explain import count_exchanges
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    df = with_repetition_stats(docs).select(
+        "doc_id", "top2gram_frac", "top3gram_frac", "dup5gram_frac",
+        "flag_repetitive",
+    )
+    assert count_exchanges(df) == 0, "per-doc scoring must not shuffle"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("rep_counts") <= 1, (
+        "pandas UDF must be evaluated once (ArrowEvalPython dedup)"
+    )
+
+
+# -- decontamination ---------------------------------------------------
+
+def test_contamination_planted_overlap(spark):
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    df = _docs(spark, [
+        (0, bench_text),                       # benchmark (pred: id==0)
+        (1, "prefix " + bench_text),           # shares all 8-grams
+        (2, "totally unrelated words " * 5),   # no overlap
+        (3, "quick brown fox jumps over the lazy dog"),  # one 8-gram
+    ])
+    got = {
+        r["doc_id"]: r
+        for r in contamination_overlap(df, F.col("doc_id") == 0, n=8).collect()
+    }
+    assert set(got) == {1, 3}
+    # doc 1: 4 distinct 8-grams, 3 of them in the bench doc
+    assert got[1]["n_overlap_grams"] == 3 and got[1]["n_grams"] == 4
+    assert got[3]["n_overlap_grams"] == 1 and got[3]["n_grams"] == 1
+    assert got[3]["overlap_frac"] == 1.0
+
+
+def test_contamination_benchmark_rows_never_emitted(spark):
+    df = _docs(spark, [(0, "a b c d e f g h i"), (17, "a b c d e f g h i")])
+    got = contamination_overlap(df, F.col("doc_id") % 17 == 0, n=8).collect()
+    assert [r["doc_id"] for r in got] == []  # both rows are benchmark
+
+
+# -- int8-quantized ANN ------------------------------------------------
+
+def test_quantize_int8_values(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # scale = 127/1.0; floor(x*127 + 0.5)
+    assert got[0]["qvec"] == [127, -63, 32, 0]
+    assert got[0]["qnorm"] == 127 * 127 + 63 * 63 + 32 * 32
+    assert got[1]["qvec"] == [0, 0, 0, 0] and got[1]["qnorm"] == 0
+
+
+def test_quantized_knn_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    qids = list(range(10))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, qids, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_quantized(emb, qids, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"int8 quantization recall {recall} too low"
+
+
+def test_quantized_knn_broadcasts_queries(spark):
+    from aktuell_spark.plans.explain import join_strategies
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    df = knn_quantized(emb, list(range(5)), k=3)
+    assert "BroadcastNestedLoopJoin" in join_strategies(df) or (
+        "BroadcastHashJoin" in join_strategies(df)
+    )
+    assert "CartesianProduct" not in join_strategies(df)
