@@ -2132,3 +2132,45 @@ QUERIES.update(
         "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
     }
 )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components (hash-min label
+    propagation, one shuffle per round, rounds = cluster diameter) over
+    the exact-Jaccard pair graph. cluster_id = min doc_id of the
+    component — the canonical survivor under keep-first dedup."""
+    from aktuell_spark.functions.dedupe import ngram_jaccard_pairs
+    from aktuell_spark.operators.components import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_df=NEAR_DUP_MAX_DF)
+    return dedup_clusters(pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    # the pair graph is the (already-green) near_dup_jaccard oracle,
+    # nested as a subquery; components via recursive min-label walk —
+    # min over every vertex that reaches v == component minimum.
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_NEAR_DUP_JACCARD}) jp
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+walk(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+  UNION
+  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.v
+),
+comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM walk GROUP BY v)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
+QUERIES.update(
+    {"dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql())}
+)

@@ -136,3 +136,31 @@ def test_quantized_knn_broadcasts_queries(spark):
         "BroadcastHashJoin" in join_strategies(df)
     )
     assert "CartesianProduct" not in join_strategies(df)
+
+
+# -- connected components / dedup clusters -----------------------------
+
+def test_connected_components_chain_and_island(spark):
+    from aktuell_spark.operators.components import connected_components
+
+    # path 1-2-3-4-5 (diameter 4 — needs >1 propagation round) + island 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["vertex"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_sizes_and_canonicals(spark):
+    from aktuell_spark.operators.components import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert {d: r["cluster_id"] for d, r in got.items()} == {
+        3: 3, 7: 3, 9: 3, 20: 20, 21: 20,
+    }
+    assert got[7]["cluster_size"] == 3 and got[20]["cluster_size"] == 2
