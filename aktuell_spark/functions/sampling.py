@@ -56,3 +56,35 @@ def stratified_counts(
         F.sum(sampled).alias("n_sampled"),
         F.round(F.sum(sampled) / F.count(F.lit(1)), 4).alias("realized_rate"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the balanced-sampling pass a
+    training mix needs (e.g. downsample the dominant language, keep all
+    of a rare one). Each stratum gets its own hash threshold; membership
+    is still a pure function of (salt, key), so the same rows survive on
+    any cluster size, retry, or engine.
+
+    Zero shuffle: the per-stratum threshold is a small CASE chain on the
+    stratum column (strata are enumerable — languages, sources), the
+    membership test one md5-prefix compare, all inside codegen.
+    """
+    def thr(rate: float) -> str:
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rate must be in [0,1], got {rate}")
+        # "g" sorts above every hex digit -> rate 1.0 keeps all rows
+        return "g" if rate >= 1.0 else format(int(rate * 0x10000), "04x")
+
+    threshold: Column = F.lit(thr(default_rate))
+    for s, r in sorted(rates.items()):
+        threshold = F.when(F.col(stratum) == s, F.lit(thr(r))).otherwise(
+            threshold
+        )
+    return df.filter(hash_bucket(key, salt) < threshold)

@@ -109,9 +109,21 @@ def winnow_overlap_pairs(
     docs) before the join — the posting-list guard that bounds the
     quadratic blowup of a boilerplate k-gram at corpus scale.
     """
-    fp = with_winnow_fingerprints(df, text_col, k, w).select(
-        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
+    # materialize the per-doc fingerprint arrays ONCE, BEFORE exploding:
+    # (1) Generate re-evaluates its child projection per OUTPUT row, so
+    # exploding straight off the md5 k-gram chain runs the chain ~|fps|
+    # times per doc (measured 10× on this stage alone at sf0.1), and
+    # (2) the posting list feeds the stop-fp groupBy and BOTH sides of
+    # the self-join, each of which would re-run the chain again (whole
+    # query measured 165 s → 12 s with this one barrier). The compact
+    # (id, fingerprints[]) rows are ~2× text bytes; on a cluster,
+    # persist to executor storage / durable checkpoint instead.
+    wf = (
+        with_winnow_fingerprints(df, text_col, k, w)
+        .select(F.col(id_col).alias("id"), "fingerprints")
+        .localCheckpoint()
     )
+    fp = wf.select("id", F.explode("fingerprints").alias("fp"))
     if max_df is not None:
         keep = fp.groupBy("fp").count().filter(F.col("count") <= max_df)
         fp = fp.join(F.broadcast(keep.select("fp")), "fp")

@@ -49,6 +49,10 @@ def connected_components(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # materialize the edge list ONCE — every round joins it, and an
+        # expensive upstream pair job (LSH/Jaccard) would otherwise
+        # re-run per round (measured 26 s → 8 s at sf0.1)
+        .localCheckpoint()
     )
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_rounds):

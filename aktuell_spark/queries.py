@@ -2174,3 +2174,117 @@ FROM comp
 QUERIES.update(
     {"dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql())}
 )
+
+
+# balanced-mix rates: downsample the dominant language, keep all of the
+# rarest; everything else at the default. Pinned here so the static SQL
+# oracle carries the identical CASE thresholds.
+STRAT_RATES = {"en": 0.2, "zh": 1.0}
+STRAT_DEFAULT = 0.5
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (balanced training mix):
+    en downsampled to 0.2, zh kept whole, rest at 0.5 — membership is
+    md5(doc_id)-prefix vs a per-lang threshold, so the exact same rows
+    survive on any cluster size, retry, or engine. Zero shuffle."""
+    from aktuell_spark.functions.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, key="doc_id", stratum="lang", rates=STRAT_RATES,
+        default_rate=STRAT_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
+def _stratified_sample_sql() -> str:
+    def thr(rate: float) -> str:
+        return "g" if rate >= 1.0 else format(int(rate * 0x10000), "04x")
+
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN '{thr(r)}'"
+        for s, r in sorted(STRAT_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE {cases} ELSE '{thr(STRAT_DEFAULT)}' END
+"""
+
+
+PACK_TARGET = 512
+PACK_SHARDS = 64
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-then-chunk): docs sharded by
+    doc_id % 64, ordered by id within the shard, assigned to the
+    512-token pack their first token lands in. ONE shuffle on the shard
+    key, then partition-local window sums — a global ordering would
+    serialize the corpus through one partition."""
+    from aktuell_spark.functions.packing import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, target_tokens=PACK_TARGET, n_shards=PACK_SHARDS)
+
+
+def _pack_sequences_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM d
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       start_offset // {PACK_TARGET} AS pack_id
+FROM o
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 salient terms per doc by the log-free tf·N/df weight
+    (ln ranks identically but transcendental bit-parity across engines
+    is not guaranteed — the score stays integer until one double
+    division). explode → two map-side-combinable groupBys → one term
+    equi-join → per-doc top-k window."""
+    from aktuell_spark.functions.tfidf import tfidf_top_terms
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.term_df,
+         round(tf.tf * n.n_docs * 1.0 / dfreq.term_df, 4) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, term_df, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+QUERIES.update(
+    {
+        "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
+        "pack_sequences": (q_pack_sequences, _pack_sequences_sql()),
+        "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    }
+)

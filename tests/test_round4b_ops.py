@@ -164,3 +164,98 @@ def test_dedup_clusters_sizes_and_canonicals(spark):
         3: 3, 7: 3, 9: 3, 20: 20, 21: 20,
     }
     assert got[7]["cluster_size"] == 3 and got[20]["cluster_size"] == 2
+
+
+# -- stratified sampling / packing / tf-idf ----------------------------
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from aktuell_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    rates = {"en": 0.2, "zh": 1.0}
+    s = stratified_sample(docs, "doc_id", "lang", rates, default_rate=0.5)
+    got = s.groupBy("lang").count().collect()
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in got:
+        rate = rates.get(r["lang"], 0.5)
+        assert r["count"] <= base[r["lang"]]
+        if rate == 1.0:
+            assert r["count"] == base[r["lang"]]  # zh kept whole
+    # determinism across partitionings: same surviving ids
+    ids1 = {r["doc_id"] for r in s.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7), "doc_id", "lang", rates, default_rate=0.5
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    from aktuell_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
+
+
+def test_pack_sequences_chunking(spark):
+    from aktuell_spark.functions.packing import pack_sequences
+
+    # one shard (ids all % 64 distinct but use n_shards=1): docs of
+    # 3,4,5 tokens, target 6 → offsets 0,3,7 → packs 0,0,1
+    df = _docs(spark, [(0, "a b c"), (1, "d e f g"), (2, "h i j k l")])
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, target_tokens=6, n_shards=1).collect()
+    }
+    assert [got[i]["start_offset"] for i in range(3)] == [0, 3, 7]
+    assert [got[i]["pack_id"] for i in range(3)] == [0, 0, 1]
+    assert got[2]["n_tokens"] == 5
+
+
+def test_pack_stats_fill(spark):
+    from aktuell_spark.functions.packing import pack_sequences, pack_stats
+
+    df = _docs(spark, [(0, "a b c"), (1, "d e f g"), (2, "h i j k l")])
+    packed = pack_sequences(df, target_tokens=6, n_shards=1)
+    stats = {r["pack_id"]: r for r in pack_stats(packed, 6).collect()}
+    assert stats[0]["n_docs"] == 2 and stats[0]["pack_tokens"] == 7
+    assert stats[1]["n_docs"] == 1 and stats[1]["fill_ratio"] == 0.8333
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from aktuell_spark.functions.packing import pack_sequences
+    from aktuell_spark.plans.explain import count_exchanges
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    df = pack_sequences(docs, target_tokens=512)
+    assert count_exchanges(df) == 1, "packing must shuffle once (shard key)"
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from aktuell_spark.functions.tfidf import tfidf_top_terms
+
+    df = _docs(spark, [
+        (0, "apple apple apple common"),
+        (1, "banana common common"),
+        (2, "common cherry"),
+    ])
+    got = tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r for r in got}
+    # rare term with high tf wins over the everywhere-term
+    assert top[0]["term"] == "apple" and top[0]["tf"] == 3
+    assert top[1]["term"] == "banana"
+    assert top[2]["term"] == "cherry"
+    assert top[0]["score"] == round(3 * 3 / 1, 4)
+
+
+def test_tfidf_max_df_guard(spark):
+    from aktuell_spark.functions.tfidf import tfidf_top_terms
+
+    df = _docs(spark, [
+        (0, "apple common"), (1, "banana common"), (2, "cherry common"),
+    ])
+    got = tfidf_top_terms(df, k=3, max_df=2).collect()
+    assert all(r["term"] != "common" for r in got)
