@@ -129,6 +129,8 @@ def run_cdc_pipeline(
     partial_updates: bool = False,
     trigger: dict | None = None,
     merge_on_read: bool = False,
+    static_dim=None,
+    static_dim_on: str = "conv_id",
 ):
     """Run the CDC pipeline; default trigger is availableNow (bounded
     replay). Pass ``trigger={"processingTime": "2 seconds"}`` for the
@@ -165,13 +167,41 @@ def run_cdc_pipeline(
         # enrichment would materialize stale/null metrics. Recompute
         # enrichment downstream of the table instead.
         raise ValueError("enrich=True is incompatible with partial_updates=True")
+    if static_dim is not None and partial_updates:
+        # dim columns ride the full post-image; a delta-only event has
+        # no stable row to hang them on until the sink reconstructs it
+        raise ValueError(
+            "static_dim is incompatible with partial_updates=True"
+        )
     stream = read_change_stream(spark, feed_dir, max_files_per_trigger)
     stream = subscription_filter(stream, database, collection)
+    dim_cols: tuple[str, ...] = ()
+    if static_dim is not None:
+        # stream-static enrichment: Spark re-plans the join per
+        # micro-batch, so the dim may even be updated between batches.
+        # Broadcast pinned — a dim lookup must never shuffle the stream
+        # (the reference's UpdateLookup hits Mongo per event;
+        # /root/reference/pkg/models/types.go:17-18); left join so a
+        # missing dim row never drops a change event.
+        import pyspark.sql.functions as _F
+
+        dim_cols = tuple(
+            c for c in static_dim.columns if c != static_dim_on
+        )
+        stream = stream.join(
+            _F.broadcast(static_dim), on=static_dim_on, how="left"
+        )
     if enrich:
         stream = enrich_turns(stream)
-        payload = (*PAYLOAD_COLS, *ENRICHED_EXTRA_COLS)
+        payload = (*PAYLOAD_COLS, *ENRICHED_EXTRA_COLS, *dim_cols)
         table = BucketedUpsertTable(
             spark, table_root, n_buckets=n_buckets, payload=payload,
+            payload_schema=stream.schema, merge_on_read=merge_on_read,
+        )
+    elif dim_cols:
+        table = BucketedUpsertTable(
+            spark, table_root, n_buckets=n_buckets,
+            payload=(*PAYLOAD_COLS, *dim_cols),
             payload_schema=stream.schema, merge_on_read=merge_on_read,
         )
     else:

@@ -47,6 +47,12 @@ def main() -> None:
         help="append LSM runs per epoch instead of rewriting buckets "
              "(write-heavy ingest; run compact() off the hot path)",
     )
+    ap.add_argument(
+        "--static-dim", default=None,
+        help="parquet path of a dimension table broadcast-joined into "
+             "the stream per micro-batch (stream-static enrichment)",
+    )
+    ap.add_argument("--static-dim-on", default="conv_id")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -81,31 +87,24 @@ def main() -> None:
             ap.error(f"--{req} is required without --config")
 
     from aktuell_spark.streaming.metrics import ProgressRecorder
-    from aktuell_spark.streaming.pipeline import (
-        read_change_stream,
-        subscription_filter,
-    )
-    from aktuell_spark.streaming.sink import BucketedUpsertTable
+    from aktuell_spark.streaming.pipeline import run_cdc_pipeline
 
     rec = ProgressRecorder(out_path=args.metrics_out)
     spark.streams.addListener(rec)
 
-    table = BucketedUpsertTable(
-        spark, args.table, n_buckets=args.n_buckets,
-        partial_updates=args.partial_updates, merge_on_read=args.merge_on_read,
+    static_dim = (
+        spark.read.parquet(args.static_dim) if args.static_dim else None
     )
-    stream = read_change_stream(spark, args.feed, args.max_files_per_trigger)
-    stream = subscription_filter(stream, args.database, args.collection)
-    writer = (
-        stream.writeStream.foreachBatch(table.foreach_batch())
-        .option("checkpointLocation", args.checkpoint)
+    _, table = run_cdc_pipeline(
+        spark, args.feed, args.table, args.checkpoint,
+        database=args.database, collection=args.collection,
+        n_buckets=args.n_buckets,
+        max_files_per_trigger=args.max_files_per_trigger,
+        partial_updates=args.partial_updates,
+        merge_on_read=args.merge_on_read,
+        static_dim=static_dim, static_dim_on=args.static_dim_on,
+        trigger={"processingTime": "10 seconds"} if args.continuous else None,
     )
-    if args.continuous:
-        writer = writer.trigger(processingTime="10 seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    q.awaitTermination()
     import time
 
     for _ in range(20):  # listener bus is async; drain before summary
