@@ -162,14 +162,51 @@ class BucketedUpsertTable:
                 shutil.rmtree(path, ignore_errors=True)
 
     # -- reads ---------------------------------------------------------
-    def read(self) -> DataFrame:
-        """Current materialized state (tombstones filtered)."""
-        raw = self._read_raw()
+    def read(self, as_of_epoch: int | None = None) -> DataFrame:
+        """Current materialized state (tombstones filtered).
+
+        ``as_of_epoch`` (merge-on-read tables only): snapshot time
+        travel — the state as of that committed epoch, the Iceberg
+        ``VERSION AS OF`` analogue. MoR keeps every epoch's run files
+        until compaction, so history is already on disk: restrict the
+        scan to runs with epoch <= E and apply the drop floor AS
+        RECORDED in E's commit marker (not today's — a later collection
+        drop must not erase the snapshot). Raises on CoW tables (epochs
+        rewrite buckets in place; history is gone) and on tables that
+        have compacted (runs were merged; travel below the compaction
+        point would silently resurrect pre-compaction rows — refuse
+        loudly instead).
+        """
+        raw = self._read_raw(as_of_epoch=as_of_epoch)
         if raw is None:
             return self.spark.createDataFrame([], self._state_schema()).select(*self.payload)
         return raw.filter(F.col("op") != "delete").select(*self.payload)
 
-    def _read_raw(self, buckets: list[int] | None = None) -> DataFrame | None:
+    def _floor_at_epoch(self, committed: set[int], as_of_epoch: int) -> int | None:
+        """Drop floor recorded in the newest commit marker <= E; markers
+        predating floor recording fall back to the current floor
+        (conservative: never resurrects dropped rows)."""
+        for ep in sorted((e for e in committed if e >= 0), reverse=True):
+            if ep > as_of_epoch:
+                continue
+            try:
+                with open(os.path.join(self.commits_dir, str(ep))) as f:
+                    rec = json.loads(f.read())
+                return rec.get("floor")
+            except (ValueError, OSError):
+                return self.drop_floor()  # legacy "ok" marker
+        return None
+
+    def _read_raw(
+        self,
+        buckets: list[int] | None = None,
+        as_of_epoch: int | None = None,
+    ) -> DataFrame | None:
+        if as_of_epoch is not None and not self.merge_on_read:
+            raise ValueError(
+                "as_of_epoch requires merge_on_read=True (copy-on-write "
+                "epochs rewrite buckets in place; history is not kept)"
+            )
         present = {
             int(e.split("=", 1)[1])
             for e in os.listdir(self.data_dir)
@@ -193,6 +230,13 @@ class BucketedUpsertTable:
                     committed.add(int(c))
                 except ValueError:
                     pass
+            if as_of_epoch is not None and any(
+                e <= self.COMPACT_EPOCH_BASE for e in committed
+            ):
+                raise ValueError(
+                    "as_of_epoch unavailable: table has compacted (runs "
+                    "below the compaction point were merged away)"
+                )
             paths = []
             for b in sorted(present):
                 bdir = os.path.join(self.data_dir, f"bucket={b}")
@@ -202,6 +246,8 @@ class BucketedUpsertTable:
                     if fn.startswith("epoch"):
                         ep = int(fn[len("epoch"):fn.rfind("-")])
                         if ep not in committed:
+                            continue
+                        if as_of_epoch is not None and ep > as_of_epoch:
                             continue
                     paths.append(os.path.join(bdir, fn))
             if not paths:
@@ -220,7 +266,11 @@ class BucketedUpsertTable:
             # (bucket, key) aggregation is partition-local and the
             # output stays bucket-partitioned (compact() writes it with
             # no further exchange).
-            floor = self.drop_floor()
+            floor = (
+                self.drop_floor()
+                if as_of_epoch is None
+                else self._floor_at_epoch(committed, as_of_epoch)
+            )
             if floor is not None:
                 df = df.filter(F.col(self.order_col) > floor)
             df = df.repartition(self._write_parallelism(len(present)), "bucket")
@@ -794,7 +844,11 @@ class BucketedUpsertTable:
         with open(os.path.join(self.metrics_dir, f"epoch-{epoch_id}.json"), "w") as f:
             json.dump(rec, f)
         with open(os.path.join(self.commits_dir, str(epoch_id)), "w") as f:
-            f.write("ok")
+            # marker content = snapshot metadata (drop floor at commit
+            # time) so as-of reads apply the floor of THEIR epoch, not
+            # today's; is_committed only tests existence, and legacy
+            # "ok" markers still parse (fallback to the current floor)
+            f.write(json.dumps({"floor": self.drop_floor()}))
         # asides are only needed to roll back an uncommitted epoch
         shutil.rmtree(self._aside_dir(epoch_id), ignore_errors=True)
 

@@ -1,0 +1,113 @@
+"""Epoch time travel on the merge-on-read sink (Iceberg VERSION AS OF
+analogue): MoR keeps each epoch's run files until compaction, so a
+snapshot read is a scan restricted to runs <= E plus the drop floor AS
+RECORDED in E's commit marker."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aktuell_spark.streaming.sink import BucketedUpsertTable
+
+DDL = (
+    "seq long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts string"
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, DDL).withColumn("ts", F.to_timestamp("ts"))
+
+
+def _mor(spark, tmp_path, name="t"):
+    return BucketedUpsertTable(
+        spark, str(tmp_path / name), n_buckets=4, merge_on_read=True
+    )
+
+
+def test_as_of_epoch_snapshots(spark, tmp_path):
+    table = _mor(spark, tmp_path)
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    table.merge_batch(_batch(spark, [
+        (3, "update", "a", 0, "u", "a1", "", "2025-01-01 00:01:00"),
+        (4, "insert", "c", 0, "u", "c0", "", "2025-01-01 00:01:01"),
+    ]), 1)
+    table.merge_batch(_batch(spark, [
+        (5, "delete", "b", 0, None, None, None, "2025-01-01 00:02:00"),
+    ]), 2)
+
+    def state(df):
+        return {r["conv_id"]: r["text"] for r in df.collect()}
+
+    assert state(table.read(as_of_epoch=0)) == {"a": "a0", "b": "b0"}
+    assert state(table.read(as_of_epoch=1)) == {"a": "a1", "b": "b0", "c": "c0"}
+    assert state(table.read(as_of_epoch=2)) == {"a": "a1", "c": "c0"}
+    assert state(table.read()) == state(table.read(as_of_epoch=2))
+
+
+def test_as_of_epoch_uses_floor_of_that_epoch(spark, tmp_path):
+    """A collection drop in a later epoch must not erase earlier
+    snapshots: the floor applied is the one recorded at E's commit."""
+    table = _mor(spark, tmp_path)
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    table.merge_batch(_batch(spark, [
+        (10, "drop", "", -1, None, None, None, "2025-01-01 01:00:00"),
+        (11, "insert", "e", 0, "u", "e0", "", "2025-01-01 01:00:01"),
+    ]), 1)
+    assert {r["conv_id"] for r in table.read().collect()} == {"e"}
+    # snapshot BEFORE the drop still sees the pre-drop rows
+    assert {r["conv_id"] for r in table.read(as_of_epoch=0).collect()} == {"a", "b"}
+    assert {r["conv_id"] for r in table.read(as_of_epoch=1).collect()} == {"e"}
+
+
+def test_as_of_epoch_rejects_cow_and_post_compaction(spark, tmp_path):
+    cow = BucketedUpsertTable(spark, str(tmp_path / "cow"), n_buckets=4)
+    cow.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 0)
+    with pytest.raises(ValueError, match="merge_on_read"):
+        cow.read(as_of_epoch=0)
+
+    mor = _mor(spark, tmp_path, "mor")
+    mor.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 0)
+    mor.merge_batch(_batch(spark, [
+        (2, "update", "a", 0, "u", "a1", "", "2025-01-01 00:01:00"),
+    ]), 1)
+    assert {r["text"] for r in mor.read(as_of_epoch=0).collect()} == {"a0"}
+    mor.compact(tombstone_horizon=0)
+    with pytest.raises(ValueError, match="compact"):
+        mor.read(as_of_epoch=0)
+    # current read still fine after compaction
+    assert {r["text"] for r in mor.read().collect()} == {"a1"}
+
+
+def test_as_of_epoch_partial_updates_mor(spark, tmp_path):
+    """Time travel composes with MoR × partial updates (delta runs are
+    reconstructed from only the runs <= E)."""
+    table = BucketedUpsertTable(
+        spark, str(tmp_path / "morp"), n_buckets=4,
+        merge_on_read=True, partial_updates=True,
+    )
+    full = _batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]).withColumn("updated_fields", F.lit(None).cast("map<string,string>")) \
+      .withColumn("removed_fields", F.lit(None).cast("array<string>"))
+    table.merge_batch(full, 0)
+    delta = _batch(spark, [
+        (2, "update", "a", 0, None, None, None, "2025-01-01 00:01:00"),
+    ]).withColumn(
+        "updated_fields",
+        F.create_map(F.lit("text"), F.lit("a1")).cast("map<string,string>"),
+    ).withColumn("removed_fields", F.lit(None).cast("array<string>"))
+    table.merge_batch(delta, 1)
+    assert {r["text"] for r in table.read(as_of_epoch=0).collect()} == {"a0"}
+    assert {r["text"] for r in table.read(as_of_epoch=1).collect()} == {"a1"}
