@@ -182,6 +182,79 @@ class BucketedUpsertTable:
             return self.spark.createDataFrame([], self._state_schema()).select(*self.payload)
         return raw.filter(F.col("op") != "delete").select(*self.payload)
 
+    def changes(self, since_epoch: int, until_epoch: int | None = None) -> DataFrame:
+        """Incremental change read (Iceberg incremental-scan analogue):
+        the per-key net changes committed in epochs (since, until] of a
+        merge-on-read table — the table's OWN downstream change feed,
+        so a consumer can tail this sink the way this sink tails its
+        source. Each MoR run file already holds the epoch's per-key
+        last-writer-wins collapse, so the scan reads exactly those runs
+        (no state diffing); a key touched in several epochs of the
+        range collapses to its final image in the range. Deletes are
+        KEPT (op='delete' rows are the point of a change feed).
+        Raises on CoW tables and post-compaction, same as time travel.
+        """
+        if not self.merge_on_read:
+            raise ValueError(
+                "changes() requires merge_on_read=True (copy-on-write "
+                "epochs rewrite buckets; per-epoch deltas are not kept)"
+            )
+        committed = self._committed_epochs()
+        if any(e <= self.COMPACT_EPOCH_BASE for e in committed):
+            raise ValueError(
+                "changes() unavailable: table has compacted (runs below "
+                "the compaction point were merged away)"
+            )
+        hi = until_epoch if until_epoch is not None else max(
+            (e for e in committed if e >= 0), default=since_epoch
+        )
+        paths = []
+        for b in sorted(self._present_buckets()):
+            bdir = os.path.join(self.data_dir, f"bucket={b}")
+            for fn in sorted(os.listdir(bdir)):
+                if not (fn.endswith(".parquet") and fn.startswith("epoch")):
+                    continue
+                ep = int(fn[len("epoch"):fn.rfind("-")])
+                if ep in committed and since_epoch < ep <= hi:
+                    paths.append(os.path.join(bdir, fn))
+        cols = [*self.state_cols, "bucket"]
+        mor_partial = self.partial_updates
+        if mor_partial:
+            cols += ["updated_fields", "removed_fields"]
+        if not paths:
+            empty = (
+                self.spark.createDataFrame([], self._state_schema())
+                .withColumn("bucket", F.lit(0))
+            )
+            if mor_partial:
+                empty = empty.withColumn(
+                    "updated_fields", F.lit(None).cast("map<string,string>")
+                ).withColumn(
+                    "removed_fields", F.lit(None).cast("array<string>")
+                )
+            return empty.select(*cols).limit(0)
+        df = (
+            self.spark.read.option("basePath", self.data_dir)
+            .parquet(*paths)
+            .select(*cols)
+        )
+        # collapse across the range: one row per key, the newest write
+        df = df.repartition(
+            self._write_parallelism(self.n_buckets), "bucket"
+        )
+        return collapse_last_writer_wins(
+            df, key=("bucket", *self.key), order_col=self.order_col
+        )
+
+    def _committed_epochs(self) -> set[int]:
+        out = set()
+        for c in os.listdir(self.commits_dir):
+            try:
+                out.add(int(c))
+            except ValueError:
+                pass
+        return out
+
     def _floor_at_epoch(self, committed: set[int], as_of_epoch: int) -> int | None:
         """Drop floor recorded in the newest commit marker <= E; markers
         predating floor recording fall back to the current floor

@@ -111,3 +111,64 @@ def test_as_of_epoch_partial_updates_mor(spark, tmp_path):
     table.merge_batch(delta, 1)
     assert {r["text"] for r in table.read(as_of_epoch=0).collect()} == {"a0"}
     assert {r["text"] for r in table.read(as_of_epoch=1).collect()} == {"a1"}
+
+
+# -- incremental change reads ------------------------------------------
+
+def test_changes_between_epochs(spark, tmp_path):
+    table = _mor(spark, tmp_path, "cdf")
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    table.merge_batch(_batch(spark, [
+        (3, "update", "a", 0, "u", "a1", "", "2025-01-01 00:01:00"),
+    ]), 1)
+    table.merge_batch(_batch(spark, [
+        (4, "update", "a", 0, "u", "a2", "", "2025-01-01 00:02:00"),
+        (5, "delete", "b", 0, None, None, None, "2025-01-01 00:02:01"),
+    ]), 2)
+
+    ch = {(r["conv_id"], r["op"], r["text"])
+          for r in table.changes(since_epoch=0).collect()}
+    # epochs 1..2 net: a updated to a2 (final image in range), b deleted
+    assert ch == {("a", "update", "a2"), ("b", "delete", None)}
+
+    ch01 = {(r["conv_id"], r["op"], r["text"])
+            for r in table.changes(0, 1).collect()}
+    assert ch01 == {("a", "update", "a1")}
+
+    # empty range
+    assert table.changes(2, 2).count() == 0
+
+
+def test_changes_rejects_cow(spark, tmp_path):
+    cow = BucketedUpsertTable(spark, str(tmp_path / "cow2"), n_buckets=4)
+    cow.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 0)
+    with pytest.raises(ValueError, match="merge_on_read"):
+        cow.changes(0)
+
+
+def test_changes_feed_a_downstream_table(spark, tmp_path):
+    """The point of the feed: a second sink tails this table's changes
+    and converges to the same state."""
+    up = _mor(spark, tmp_path, "up")
+    up.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    up.merge_batch(_batch(spark, [
+        (3, "update", "a", 0, "u", "a1", "", "2025-01-01 00:01:00"),
+        (4, "delete", "b", 0, None, None, None, "2025-01-01 00:01:01"),
+    ]), 1)
+    down = BucketedUpsertTable(spark, str(tmp_path / "down"), n_buckets=4)
+    for i, since in enumerate([-1, 0]):
+        delta = up.changes(since, since + 1).drop("bucket")
+        down.merge_batch(delta, i)
+    assert (
+        {(r["conv_id"], r["text"]) for r in down.read().collect()}
+        == {(r["conv_id"], r["text"]) for r in up.read().collect()}
+        == {("a", "a1")}
+    )
