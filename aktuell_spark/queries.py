@@ -2288,3 +2288,47 @@ QUERIES.update(
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     }
 )
+
+
+def q_dedup_corpus(spark, sf_dir):
+    """The dedup story end-to-end: the SURVIVING corpus after keep-first
+    near-dup collapse — every doc whose cluster canonical (component-min
+    doc_id) is itself, i.e. singletons plus one representative per
+    near-dup cluster. left_anti join against the non-canonical members;
+    at scale the cluster table is a fraction of the corpus and
+    AQE broadcasts it."""
+    from aktuell_spark.functions.dedupe import ngram_jaccard_pairs
+    from aktuell_spark.operators.components import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_df=NEAR_DUP_MAX_DF)
+    dupes = dedup_clusters(pairs).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    )
+    return docs.join(dupes.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _dedup_corpus_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_NEAR_DUP_JACCARD}) jp
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+walk(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+  UNION
+  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.v
+),
+comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM walk GROUP BY v)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
+"""
+
+
+QUERIES.update({"dedup_corpus": (q_dedup_corpus, _dedup_corpus_sql())})

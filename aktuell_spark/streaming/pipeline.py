@@ -131,6 +131,7 @@ def run_cdc_pipeline(
     merge_on_read: bool = False,
     static_dim=None,
     static_dim_on: str = "conv_id",
+    quarantine: bool = False,
 ):
     """Run the CDC pipeline; default trigger is availableNow (bounded
     replay). Pass ``trigger={"processingTime": "2 seconds"}`` for the
@@ -197,17 +198,20 @@ def run_cdc_pipeline(
         table = BucketedUpsertTable(
             spark, table_root, n_buckets=n_buckets, payload=payload,
             payload_schema=stream.schema, merge_on_read=merge_on_read,
+            quarantine=quarantine,
         )
     elif dim_cols:
         table = BucketedUpsertTable(
             spark, table_root, n_buckets=n_buckets,
             payload=(*PAYLOAD_COLS, *dim_cols),
             payload_schema=stream.schema, merge_on_read=merge_on_read,
+            quarantine=quarantine,
         )
     else:
         table = BucketedUpsertTable(
             spark, table_root, n_buckets=n_buckets,
             partial_updates=partial_updates, merge_on_read=merge_on_read,
+            quarantine=quarantine,
         )
     if dedupe == "watermark":
         stream = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(

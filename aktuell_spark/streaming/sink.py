@@ -76,6 +76,7 @@ class BucketedUpsertTable:
         partial_updates: bool = False,
         ts_col: str = "ts",
         merge_on_read: bool = False,
+        quarantine: bool = False,
     ) -> None:
         self.spark = spark
         self.root = root
@@ -111,10 +112,19 @@ class BucketedUpsertTable:
             c for c in self.payload
             if c not in self.key and c != ts_col and c != "extra"
         )
+        # quarantine (dead-letter path): a malformed event — null key or
+        # null seq on a non-marker row — would otherwise hash to a null
+        # bucket and poison the table layout (bucket=__HIVE_DEFAULT__
+        # breaks the int-parsed dir listing every read depends on).
+        # Opt-in because it costs one extra Spark job per epoch; when on,
+        # bad rows land in _quarantine/epoch-N (idempotent overwrite on
+        # replay) and the epoch's lineage records the count.
+        self.quarantine = quarantine
         self._payload_schema = payload_schema
         self.data_dir = os.path.join(root, "data")
         self.commits_dir = os.path.join(root, "_commits")
         self.metrics_dir = os.path.join(root, "_metrics")
+        self.quarantine_dir = os.path.join(root, "_quarantine")
         for d in (self.data_dir, self.commits_dir, self.metrics_dir):
             os.makedirs(d, exist_ok=True)
         self._recover()
@@ -391,6 +401,8 @@ class BucketedUpsertTable:
         # back any half-swapped state before re-merging (cheap listdir)
         self._recover()
         t0 = time.time()
+        if self.quarantine:
+            batch_df = self._quarantine_split(batch_df, epoch_id)
         if self.partial_updates:
             self._merge_with_partials(batch_df, epoch_id, t0)
             return
@@ -912,6 +924,8 @@ class BucketedUpsertTable:
             "touched_buckets": sorted(buckets),
             "merge_sec": round(time.time() - t0, 3),
         }
+        if self.quarantine:
+            rec["quarantined_rows"] = getattr(self, "_last_quarantined", 0)
         if phases:
             rec["phases"] = phases
         with open(os.path.join(self.metrics_dir, f"epoch-{epoch_id}.json"), "w") as f:
@@ -928,3 +942,41 @@ class BucketedUpsertTable:
     def foreach_batch(self):
         """Bind for ``writeStream.foreachBatch``."""
         return lambda df, epoch: self.merge_batch(df, epoch)
+
+    # -- dead-letter quarantine ---------------------------------------
+    def _quarantine_split(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        """Route malformed events (null key / null seq on a non-marker
+        row) to ``_quarantine/epoch-N`` and return the clean remainder.
+        Null-safe: an event with a null ``op`` AND a broken key is still
+        quarantined (three-valued logic would otherwise let it through).
+        Idempotent on replay (same epoch overwrites its own dir)."""
+        marker = F.coalesce(F.col("op").isin("drop", "rename"), F.lit(False))
+        ok = F.col(self.order_col).isNotNull()
+        for k in self.key:
+            ok = ok & F.col(k).isNotNull()
+        ok = F.coalesce(ok, F.lit(False))
+        qdir = os.path.join(self.quarantine_dir, f"epoch-{epoch_id}")
+        batch_df.filter(~(marker | ok)).write.mode("overwrite").parquet(qdir)
+        # flat dir (no bucket= partitions): count footers directly
+        import pyarrow.parquet as pq
+
+        n_bad = sum(
+            pq.read_metadata(os.path.join(qdir, f)).num_rows
+            for f in os.listdir(qdir)
+            if f.endswith(".parquet")
+        )
+        self._last_quarantined = n_bad
+        if n_bad == 0:
+            shutil.rmtree(qdir, ignore_errors=True)
+            return batch_df
+        return batch_df.filter(marker | ok)
+
+    def quarantined(self) -> DataFrame | None:
+        """Every dead-lettered event across epochs (None if clean)."""
+        if not os.path.isdir(self.quarantine_dir):
+            return None
+        dirs = [
+            os.path.join(self.quarantine_dir, d)
+            for d in sorted(os.listdir(self.quarantine_dir))
+        ]
+        return self.spark.read.parquet(*dirs) if dirs else None

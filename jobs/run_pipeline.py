@@ -53,6 +53,11 @@ def main() -> None:
              "the stream per micro-batch (stream-static enrichment)",
     )
     ap.add_argument("--static-dim-on", default="conv_id")
+    ap.add_argument(
+        "--quarantine", action="store_true",
+        help="route malformed events (null key/seq) to _quarantine "
+             "instead of failing the table layout",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -103,6 +108,7 @@ def main() -> None:
         partial_updates=args.partial_updates,
         merge_on_read=args.merge_on_read,
         static_dim=static_dim, static_dim_on=args.static_dim_on,
+        quarantine=args.quarantine,
         trigger={"processingTime": "10 seconds"} if args.continuous else None,
     )
     import time
