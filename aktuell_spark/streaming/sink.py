@@ -980,3 +980,60 @@ class BucketedUpsertTable:
             for d in sorted(os.listdir(self.quarantine_dir))
         ]
         return self.spark.read.parquet(*dirs) if dirs else None
+
+    # -- metadata tables (Iceberg `snapshots` / `files` analogues) -----
+    def history(self) -> DataFrame:
+        """Commit history as a DataFrame (Iceberg ``snapshots`` table
+        analogue): one row per committed epoch from the lineage sidecars
+        — epoch, merged rows, touched bucket count, merge seconds, and
+        the quarantined count when the dead-letter path is on. Driver
+        cost is one listdir + one tiny JSON read per epoch (metadata is
+        METADATA — never a Spark job over data files)."""
+        rows = []
+        for fn in sorted(os.listdir(self.metrics_dir)):
+            if not (fn.startswith("epoch-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.metrics_dir, fn)) as f:
+                rec = json.load(f)
+            rows.append((
+                int(rec["epoch"]),
+                int(rec.get("merged_rows", 0)),
+                len(rec.get("touched_buckets", [])),
+                float(rec.get("merge_sec", 0.0)),
+                int(rec.get("quarantined_rows", 0)),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "epoch long, merged_rows long, touched_buckets int, "
+            "merge_sec double, quarantined_rows long",
+        )
+
+    def files(self) -> DataFrame:
+        """Data-file inventory (Iceberg ``files`` table analogue): one
+        row per live parquet file with bucket, epoch (MoR runs; -1 for
+        compacted/CoW files), bytes, and footer row count. The input to
+        a compaction policy (many small runs in one bucket -> compact)
+        and to size-skew audits."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for entry in sorted(os.listdir(self.data_dir)):
+            if not entry.startswith("bucket="):
+                continue
+            bucket = int(entry.split("=", 1)[1])
+            bdir = os.path.join(self.data_dir, entry)
+            for fn in sorted(os.listdir(bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                ep = -1
+                if fn.startswith("epoch"):
+                    ep = int(fn[len("epoch"):fn.rfind("-")])
+                path = os.path.join(bdir, fn)
+                rows.append((
+                    bucket, ep, fn, os.path.getsize(path),
+                    pq.read_metadata(path).num_rows,
+                ))
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, epoch long, file string, bytes long, n_rows long",
+        )

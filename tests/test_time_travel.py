@@ -172,3 +172,26 @@ def test_changes_feed_a_downstream_table(spark, tmp_path):
         == {(r["conv_id"], r["text"]) for r in up.read().collect()}
         == {("a", "a1")}
     )
+
+
+# -- metadata tables ---------------------------------------------------
+
+def test_history_and_files_metadata(spark, tmp_path):
+    table = _mor(spark, tmp_path, "meta")
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    table.merge_batch(_batch(spark, [
+        (3, "update", "a", 0, "u", "a1", "", "2025-01-01 00:01:00"),
+    ]), 1)
+    hist = {r["epoch"]: r for r in table.history().collect()}
+    assert set(hist) == {0, 1}
+    assert hist[0]["merged_rows"] == 2 and hist[1]["merged_rows"] == 1
+    assert all(r["merge_sec"] > 0 for r in hist.values())
+
+    files = table.files().collect()
+    # MoR: every live file is an epoch run; rows add up to total events
+    assert all(f["epoch"] in (0, 1) for f in files)
+    assert sum(f["n_rows"] for f in files) == 3
+    assert all(f["bytes"] > 0 for f in files)
