@@ -337,9 +337,25 @@ class BucketedUpsertTable:
                 return None
         else:
             paths = [os.path.join(self.data_dir, f"bucket={b}") for b in sorted(present)]
-        df = self.spark.read.option("basePath", self.data_dir).parquet(*paths)
+        reader = self.spark.read.option("basePath", self.data_dir)
+        if self.merge_on_read:
+            # schema evolution (Iceberg add-column analogue): a payload
+            # column added mid-stream exists only in newer runs; without
+            # footer-merging the union read throws on the older files.
+            # mergeSchema reads every footer (metadata, not data) and
+            # fills missing columns with null — the cast below then pins
+            # the declared payload schema. CoW doesn't need it (every
+            # epoch rewrites whole buckets under the current schema).
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
         mor_partial = self.merge_on_read and self.partial_updates
         extra = ("updated_fields", "removed_fields") if mor_partial else ()
+        missing = [c for c in self.state_cols if c not in df.columns]
+        if missing and self.merge_on_read:
+            # table declared with a column no run carries yet
+            schema = {f.name: f.dataType for f in self._state_schema().fields}
+            for c in missing:
+                df = df.withColumn(c, F.lit(None).cast(schema[c]))
         df = df.select(*self.state_cols, *extra, "bucket")
         if self.merge_on_read:
             # epoch files are un-merged LSM runs: collapse to one row per

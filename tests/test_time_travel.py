@@ -195,3 +195,40 @@ def test_history_and_files_metadata(spark, tmp_path):
     assert all(f["epoch"] in (0, 1) for f in files)
     assert sum(f["n_rows"] for f in files) == 3
     assert all(f["bytes"] > 0 for f in files)
+
+
+# -- schema evolution --------------------------------------------------
+
+def test_mor_schema_evolution_add_column(spark, tmp_path):
+    """A payload column added mid-stream (Iceberg add-column analogue):
+    old runs lack it; reads fill null for pre-evolution rows and carry
+    the value for post-evolution rows."""
+    root = str(tmp_path / "evo")
+    import pyspark.sql.types as T
+
+    base_payload = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    t1 = BucketedUpsertTable(
+        spark, root, n_buckets=4, merge_on_read=True, payload=base_payload
+    )
+    t1.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 0)
+
+    evolved = (*base_payload, "channel")
+    schema = T.StructType(
+        list(_batch(spark, []).schema.fields)
+        + [T.StructField("channel", T.StringType(), True)]
+    )
+    t2 = BucketedUpsertTable(
+        spark, root, n_buckets=4, merge_on_read=True, payload=evolved,
+        payload_schema=schema,
+    )
+    b2 = _batch(spark, [
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:01:00"),
+    ]).withColumn("channel", F.lit("web"))
+    t2.merge_batch(b2, 1)
+
+    got = {r["conv_id"]: r["channel"] for r in t2.read().collect()}
+    assert got == {"a": None, "b": "web"}
+    # time travel before the evolution also resolves (all-null column)
+    assert {r["conv_id"] for r in t2.read(as_of_epoch=0).collect()} == {"a"}
