@@ -545,10 +545,20 @@ class BucketedUpsertTable:
     # they share the crash-safe swap + recovery machinery
     COMPACT_EPOCH_BASE = -1_000_000
 
-    def compact(self, tombstone_horizon: int) -> dict:
+    def compact(
+        self, tombstone_horizon: int, sort_within: tuple[str, ...] = ()
+    ) -> dict:
         """Rewrite every bucket, dropping delete tombstones at or below
         ``tombstone_horizon`` (Iceberg analogue: rewrite_data_files +
         expiring delete files).
+
+        ``sort_within``: cluster rows inside each bucket file by these
+        columns (Iceberg's sort-order rewrite, the single-column cousin
+        of z-ordering). Parquet stores per-row-group min/max stats; a
+        sorted file makes them DISJOINT, so a point/range predicate on
+        the sort key skips whole row groups at scan time. Cost is a
+        partition-local sort during the rewrite (no extra shuffle —
+        rows are already bucket-partitioned).
 
         Tombstones exist to neutralize redeliveries of pre-delete
         events. Once the source can no longer replay seqs <= horizon
@@ -586,6 +596,8 @@ class BucketedUpsertTable:
             # CoW rows come back scan-partitioned; co-locate per bucket.
             # (MoR reads are already bucket-partitioned by _read_raw.)
             keep = keep.repartition(self._write_parallelism(len(present)), "bucket")
+        if sort_within:
+            keep = keep.sortWithinPartitions(*sort_within)
         tmp = os.path.join(self.root, f"_tmp-epoch-{cid}")
         shutil.rmtree(tmp, ignore_errors=True)
         keep.write.partitionBy("bucket").mode("overwrite").parquet(tmp)

@@ -232,3 +232,45 @@ def test_mor_schema_evolution_add_column(spark, tmp_path):
     assert got == {"a": None, "b": "web"}
     # time travel before the evolution also resolves (all-null column)
     assert {r["conv_id"] for r in t2.read(as_of_epoch=0).collect()} == {"a"}
+
+
+# -- sorted compaction (data skipping) ---------------------------------
+
+def test_compact_sort_within_clusters_rows(spark, tmp_path):
+    """sort_within compaction writes each bucket file clustered by the
+    sort key, so parquet row-group min/max stats become disjoint and
+    point predicates skip row groups at scan time."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    table = _mor(spark, tmp_path, "zorder")
+    rows = [
+        (i + 1, "insert", f"conv-{i % 7:02d}", i // 7, "u", f"t{i}", "",
+         "2025-01-01 00:00:00")
+        for i in range(40)
+    ]
+    table.merge_batch(_batch(spark, rows[:20]), 0)
+    table.merge_batch(_batch(spark, rows[20:]), 1)
+    before = {(r["conv_id"], r["turn_idx"], r["text"])
+              for r in table.read().collect()}
+    table.compact(tombstone_horizon=0, sort_within=("conv_id", "turn_idx"))
+    after = {(r["conv_id"], r["turn_idx"], r["text"])
+             for r in table.read().collect()}
+    assert after == before  # rewrite changes layout, never content
+
+    for entry in os.listdir(table.data_dir):
+        if not entry.startswith("bucket="):
+            continue
+        bdir = os.path.join(table.data_dir, entry)
+        for fn in os.listdir(bdir):
+            if not fn.endswith(".parquet"):
+                continue
+            col = pq.read_table(
+                os.path.join(bdir, fn), columns=["conv_id", "turn_idx"]
+            )
+            pairs = list(zip(
+                col.column("conv_id").to_pylist(),
+                col.column("turn_idx").to_pylist(),
+            ))
+            assert pairs == sorted(pairs), f"{fn} not clustered"
