@@ -55,6 +55,7 @@ class EngineSettings:
     # LSM-style merge-on-read ingest; same knobs as jobs/run_pipeline.py
     partial_updates: bool = False
     merge_on_read: bool = False
+    quarantine: bool = False
     subscriptions: list[Subscription] = field(default_factory=list)
     databases: EngineConfig = field(default_factory=EngineConfig)
 
@@ -115,6 +116,7 @@ def parse_config(doc: dict) -> EngineSettings:
         max_files_per_trigger=int(mft) if mft else None,
         partial_updates=bool(eng.get("partial_updates", False)),
         merge_on_read=bool(eng.get("merge_on_read", False)),
+        quarantine=bool(eng.get("quarantine", False)),
         subscriptions=subs,
         databases=EngineConfig(databases=dbs),
     )
@@ -135,6 +137,7 @@ def load_manager(
     checkpoint_dir: str | None = None,
     partial_updates: bool | None = None,
     merge_on_read: bool | None = None,
+    quarantine: bool | None = None,
 ) -> tuple[EngineManager, EngineSettings]:
     """Build an ``EngineManager`` from a YAML config file.
 
@@ -146,6 +149,8 @@ def load_manager(
         s.partial_updates = partial_updates
     if merge_on_read is not None:
         s.merge_on_read = merge_on_read
+    if quarantine is not None:
+        s.quarantine = quarantine
     feed = feed_dir or s.feed_dir
     tbl = root or s.root
     ckpt = checkpoint_dir or s.checkpoint_dir
@@ -163,5 +168,6 @@ def load_manager(
         n_buckets=s.n_buckets,
         partial_updates=s.partial_updates,
         merge_on_read=s.merge_on_read,
+        quarantine=s.quarantine,
     )
     return mgr, s

@@ -90,6 +90,7 @@ class FanoutSink:
         partial_updates: bool = False,
         merge_on_read: bool = False,
         rename_aware: bool = True,
+        quarantine: bool = False,
     ) -> None:
         names = [s.name for s in subs]
         if len(set(names)) != len(names):
@@ -117,6 +118,7 @@ class FanoutSink:
                 n_buckets=n_buckets,
                 partial_updates=partial_updates,
                 merge_on_read=merge_on_read,
+                quarantine=quarantine,
             )
             for s in subs
         }
@@ -339,6 +341,7 @@ class EngineManager:
         n_buckets: int = 32,
         partial_updates: bool = False,
         merge_on_read: bool = False,
+        quarantine: bool = False,
     ) -> None:
         self.spark = spark
         self.feed_dir = feed_dir
@@ -351,6 +354,7 @@ class EngineManager:
         # config layer); jobs/run_pipeline.py exposes the same flags
         self.partial_updates = partial_updates
         self.merge_on_read = merge_on_read
+        self.quarantine = quarantine
         self.by_db: dict[str, list[Subscription]] = {}
         for s in subscriptions:
             if not s.database:
@@ -396,6 +400,7 @@ class EngineManager:
                 config=self.config,
                 partial_updates=self.partial_updates,
                 merge_on_read=self.merge_on_read,
+                quarantine=self.quarantine,
                 max_files_per_trigger=max_files_per_trigger,
                 await_termination=False,
                 trigger=trigger,
@@ -425,6 +430,7 @@ def run_fanout_pipeline(
     config: EngineConfig | None = None,
     partial_updates: bool = False,
     merge_on_read: bool = False,
+    quarantine: bool = False,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
     trigger: dict | None = None,
@@ -453,6 +459,7 @@ def run_fanout_pipeline(
         n_buckets=n_buckets,
         partial_updates=partial_updates,
         merge_on_read=merge_on_read,
+        quarantine=quarantine,
     )
     stream = read_change_stream(spark, feed_dir, max_files_per_trigger)
     query = (

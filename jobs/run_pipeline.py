@@ -76,6 +76,7 @@ def main() -> None:
             # CLI mode flags override the YAML engine block when set
             partial_updates=args.partial_updates or None,
             merge_on_read=args.merge_on_read or None,
+            quarantine=args.quarantine or None,
         )
         trig = {"processingTime": "10 seconds"} if args.continuous else None
         queries = mgr.run(

@@ -102,3 +102,42 @@ def test_pipeline_quarantine_end_to_end(spark, tmp_path):
     )
     assert {r["conv_id"] for r in table.read().collect()} == {"a", "b"}
     assert {r["text"] for r in table.quarantined().collect()} == {"dead1", "dead2"}
+
+
+def test_fanout_quarantine_from_yaml_config(spark, tmp_path):
+    """Deployment path: a YAML config with engine.quarantine routes
+    malformed events per-subscription instead of poisoning any table."""
+    from aktuell_spark.config import load_manager
+
+    cfg = tmp_path / "engine.yaml"
+    cfg.write_text(
+        """
+mongodb:
+  databases:
+    - name: aktuell
+      collections: [transcripts]
+engine:
+  quarantine: true
+  n_buckets: 4
+"""
+    )
+    good = _batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ])
+    bad = _batch(spark, [
+        (2, "insert", None, 0, "u", "dead", "", "2025-01-01 00:00:01"),
+    ])
+    feed = str(tmp_path / "feed")
+    good.unionByName(bad).withColumn("database", F.lit("aktuell")) \
+        .withColumn("collection", F.lit("transcripts")) \
+        .coalesce(1).write.parquet(feed)
+    mgr, settings = load_manager(
+        spark, str(cfg), feed_dir=feed,
+        root=str(tmp_path / "root"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert settings.quarantine is True
+    mgr.run(await_termination=True)
+    got = mgr.read("aktuell", "aktuell.transcripts")
+    assert {r["conv_id"] for r in got.collect()} == {"a"}
+    sub_table = mgr.sinks["aktuell"].tables["aktuell.transcripts"]
+    assert {r["text"] for r in sub_table.quarantined().collect()} == {"dead"}
