@@ -2332,3 +2332,49 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
 
 
 QUERIES.update({"dedup_corpus": (q_dedup_corpus, _dedup_corpus_sql())})
+
+
+INTERVAL_JOIN_UPPER = 86_400  # clicks within one day after an error
+
+
+def q_interval_join(spark, sf_dir):
+    """Interval (range) join planned as an equi-join: every click by
+    the same user within [0, 86400] s AFTER an error. Time is quantized
+    into span-width buckets, the left side explodes into the fixed 2
+    candidate buckets, and the exact range refines after a plain
+    shuffled equi-join — linear work, never a nested loop
+    (plan-asserted; a naive theta-join plans BroadcastNestedLoopJoin)."""
+    from aktuell_spark.operators.interval import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        errors, clicks, lower=0, upper=INTERVAL_JOIN_UPPER, key="user_id"
+    )
+    return out.select(
+        F.col("l_event_id").alias("error_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        "gap_seconds",
+    )
+
+
+def _interval_join_sql() -> str:
+    return f"""
+WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT a.event_id AS error_id, b.event_id AS click_id,
+       a.user_id AS user_id,
+       (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_seconds
+FROM errors a JOIN clicks b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND CAST({INTERVAL_JOIN_UPPER} AS BIGINT) * 1000000
+"""
+
+
+QUERIES.update({"interval_join": (q_interval_join, _interval_join_sql())})

@@ -259,3 +259,70 @@ def test_tfidf_max_df_guard(spark):
     ])
     got = tfidf_top_terms(df, k=3, max_df=2).collect()
     assert all(r["term"] != "common" for r in got)
+
+
+# -- interval (range) join ---------------------------------------------
+
+def test_interval_join_semantics(spark):
+    from aktuell_spark.operators.interval import interval_join
+
+    DDL = "event_id long, user_id long, ts string"
+    left = spark.createDataFrame([
+        (1, 7, "2025-01-01 00:00:00"),
+        (2, 7, "2025-01-01 02:00:00"),
+        (3, 8, "2025-01-01 00:00:00"),
+    ], DDL).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame([
+        (10, 7, "2025-01-01 00:00:30"),   # 30s after 1 — in [0, 60]
+        (11, 7, "2025-01-01 00:01:00"),   # exactly 60s — inclusive bound
+        (12, 7, "2025-01-01 00:01:01"),   # 61s — out
+        (13, 7, "2025-01-01 02:00:05"),   # 5s after 2 — in
+        (14, 9, "2025-01-01 00:00:10"),   # other user — out
+        (15, 8, "2024-12-31 23:59:30"),   # BEFORE left 3 — out
+    ], DDL).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["l_event_id"], r["r_event_id"], r["gap_seconds"])
+           for r in interval_join(left, right, 0, 60).collect()}
+    assert got == {(1, 10, 30), (1, 11, 60), (2, 13, 5)}
+
+
+def test_interval_join_negative_window(spark):
+    from aktuell_spark.operators.interval import interval_join
+
+    DDL = "event_id long, user_id long, ts string"
+    left = spark.createDataFrame(
+        [(1, 7, "2025-01-01 00:01:00")], DDL
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame([
+        (10, 7, "2025-01-01 00:00:30"),  # 30s BEFORE left — in [-60, 0]
+        (11, 7, "2025-01-01 00:01:30"),  # after — out
+    ], DDL).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["r_event_id"], r["gap_seconds"])
+           for r in interval_join(left, right, -60, 0).collect()}
+    assert got == {(10, -30)}
+
+
+def test_interval_join_subsecond_exactness(spark):
+    """Gaps compare at microsecond precision — a 60.4s gap must NOT
+    match an inclusive 60s bound (seconds-truncating epochs let it)."""
+    from aktuell_spark.operators.interval import interval_join
+
+    DDL = "event_id long, user_id long, ts string"
+    left = spark.createDataFrame(
+        [(1, 7, "2025-01-01 00:00:00.300")], DDL
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame([
+        (10, 7, "2025-01-01 00:01:00.700"),  # 60.4s — out
+        (11, 7, "2025-01-01 00:01:00.200"),  # 59.9s — in
+    ], DDL).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["r_event_id"] for r in interval_join(left, right, 0, 60).collect()}
+    assert got == {11}
+
+
+def test_interval_join_never_nested_loop(spark):
+    from aktuell_spark.plans.explain import join_strategies
+    from aktuell_spark.queries import q_interval_join
+
+    df = q_interval_join(spark, "/root/testdata/sf0.001")
+    strats = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in strats, strats
+    assert "CartesianProduct" not in strats, strats
