@@ -2378,3 +2378,20 @@ FROM errors a JOIN clicks b
 
 
 QUERIES.update({"interval_join": (q_interval_join, _interval_join_sql())})
+
+
+def q_turn_tool_join_native(spark, sf_dir):
+    """J3's NATIVE expression: the built-in (stream-)stream event-time
+    join with key equality + bounded time range — state O(window), not
+    O(stream). Batch mode of the same logical plan (rows-only: the
+    fixture is engine-generated; the streaming variant is pytest-proved
+    equal to this batch result in test_stream_stream_native.py)."""
+    from aktuell_spark.fixtures import gen_tool_events, gen_transcripts
+    from aktuell_spark.streaming.native_join import join_turns_tools_native
+
+    t = gen_transcripts(spark, n_convs=40, avg_turns=10, hot_turns=60, seed=42)
+    te = gen_tool_events(t, seed=42)
+    return join_turns_tools_native(t, te)
+
+
+QUERIES.update({"turn_tool_join_native": (q_turn_tool_join_native, None)})
