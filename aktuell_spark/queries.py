@@ -2395,3 +2395,45 @@ def q_turn_tool_join_native(spark, sf_dir):
 
 
 QUERIES.update({"turn_tool_join_native": (q_turn_tool_join_native, None)})
+
+
+def q_funnel_rate(spark, sf_dir):
+    """Funnel conversion rate (the dashboard number the per-match CEP
+    output feeds): distinct users completing view→click→purchase within
+    48 h over distinct active users. Composes detect_sequence with two
+    1-row aggregates — the CEP output is reused, not recomputed
+    per-metric."""
+    from aktuell_spark.operators.cep import detect_sequence
+
+    ev = load(spark, sf_dir, "events")
+    matches = detect_sequence(
+        ev,
+        steps=["event_type = 'view'", "event_type = 'click'",
+               "event_type = 'purchase'"],
+        key_col="user_id", order_col="event_id", ts_col="ts",
+        within_seconds=172_800,
+    )
+    totals = ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    conv = matches.agg(
+        F.countDistinct("user_id").alias("n_converted"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    return totals.crossJoin(conv).select(
+        "n_users", "n_converted", "n_matches",
+        F.round(F.col("n_converted") / F.col("n_users"), 4).alias("conversion_rate"),
+    )
+
+
+SQL_FUNNEL_RATE = f"""
+WITH m AS ({SQL_CEP_FUNNEL}),
+t AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+c AS (SELECT count(DISTINCT user_id) AS n_converted, count(*) AS n_matches FROM m)
+SELECT t.n_users, c.n_converted, c.n_matches,
+       round(c.n_converted * 1.0 / t.n_users, 4) AS conversion_rate
+FROM t CROSS JOIN c
+"""
+
+
+QUERIES.update({"funnel_rate": (q_funnel_rate, SQL_FUNNEL_RATE)})
