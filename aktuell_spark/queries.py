@@ -2437,3 +2437,89 @@ FROM t CROSS JOIN c
 
 
 QUERIES.update({"funnel_rate": (q_funnel_rate, SQL_FUNNEL_RATE)})
+
+
+def q_top_paths(spark, sf_dir):
+    """Path analysis: the 20 most frequent 3-step event-type paths
+    (per-user order by event_id) — the navigation-flow rollup product
+    analytics runs on clickstreams. One keyed window (both leads share
+    it) + one map-side-combinable count; top-k via a single global
+    TakeOrdered, deterministic tie-break on the path string."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    paths = (
+        ev.select(
+            "user_id", "event_id", "event_type",
+            F.lead("event_type", 1).over(w).alias("e1"),
+            F.lead("event_type", 2).over(w).alias("e2"),
+        )
+        .filter(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e1", "e2").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+SQL_TOP_PATHS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT event_type || '>' || e1 || '>' || e2 AS path, count(*) AS n
+FROM o WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by their first active
+    week; for each (cohort, weeks-since) cell, how many distinct users
+    were active. Two shuffles (first-week per user, then the cell
+    count) — the standard retention matrix, engine-deterministic
+    because week indexes are integer epoch-day arithmetic (no timezone
+    or date-bin library divergence)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+                  / (86_400 * 1_000_000))
+    e = ev.select("user_id", F.floor(day / 7).alias("week"))
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH e AS (
+  SELECT user_id,
+         (CAST(epoch_us(ts) AS BIGINT) // 86400000000) // 7 AS week
+  FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS weeks_since,
+       count(DISTINCT e.user_id) AS n_active
+FROM e JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "top_paths": (q_top_paths, SQL_TOP_PATHS),
+        "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    }
+)
