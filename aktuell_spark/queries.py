@@ -2523,3 +2523,67 @@ QUERIES.update(
         "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     }
 )
+
+
+CURATE_MIN_QUALITY = 0.45
+
+
+def q_curate_corpus(spark, sf_dir):
+    """The curation pipeline END-TO-END: one query composing the
+    corpus-hygiene family — quality floor, Gopher repetition flags,
+    near-dup keep-first survivors, benchmark decontamination — into the
+    final training-corpus manifest. Every stage is the SAME operator
+    the standalone graded queries run; this proves they compose.
+    Scale shape: three narrow scoring maps + the two already-bounded
+    join pipelines (components, gram-hash overlap), stitched by
+    semi/anti joins on doc_id — no new shuffle classes."""
+    from aktuell_spark.functions.dedupe import (
+        contamination_overlap,
+        ngram_jaccard_pairs,
+    )
+    from aktuell_spark.functions.textops import (
+        with_quality_score,
+        with_repetition_stats,
+    )
+    from aktuell_spark.operators.components import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    quality = with_quality_score(docs).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    rep = with_repetition_stats(docs).select("doc_id", "flag_repetitive")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_df=NEAR_DUP_MAX_DF)
+    dupes = dedup_clusters(pairs).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    contaminated = contamination_overlap(
+        docs, F.col("doc_id") % 17 == 0, n=DECONTAM_N
+    ).select("doc_id")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(quality, "doc_id")
+        .join(rep, "doc_id")
+        .filter(
+            (F.col("quality_score") >= CURATE_MIN_QUALITY)
+            & ~F.col("flag_repetitive")
+        )
+        .join(dupes, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+    )
+
+
+def _curate_corpus_sql() -> str:
+    return f"""
+SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.quality_score
+FROM documents d
+JOIN ({SQL_QUALITY_SCORE}) q ON d.doc_id = q.doc_id
+JOIN ({_gopher_repetition_sql()}) g ON d.doc_id = g.doc_id
+WHERE q.quality_score >= {CURATE_MIN_QUALITY}
+  AND NOT g.flag_repetitive
+  AND d.doc_id IN (SELECT doc_id FROM ({_dedup_corpus_sql()}) s)
+  AND d.doc_id NOT IN (SELECT doc_id FROM ({_decontaminate_sql()}) c)
+"""
+
+
+QUERIES.update({"curate_corpus": (q_curate_corpus, _curate_corpus_sql())})
