@@ -145,3 +145,42 @@ def test_components_invariant_under_edge_order_and_flip(spark, edges, seed):
         members.setdefault(c, []).append(v)
     for c, vs in members.items():
         assert c == min(vs)
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)),
+                   min_size=1, max_size=8),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)),
+                    min_size=1, max_size=8),
+    lower=st.integers(-120, 120),
+    width=st.integers(1, 180),
+)
+@settings(**SETTINGS)
+def test_interval_join_equals_naive_theta_join(spark, lefts, rights, lower, width):
+    """The bucketed equi-join must emit EXACTLY the pairs the naive
+    O(N^2) definition emits, for any window placement (positive,
+    negative, straddling zero) — the bucket math is the risky part."""
+    import datetime as dt
+
+    from aktuell_spark.operators.interval import interval_join
+
+    upper = lower + width
+    t0 = dt.datetime(2025, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, t0 + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, k, t0 + dt.timedelta(seconds=s))
+         for i, (k, s) in enumerate(rights)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {(r["l_event_id"], r["r_event_id"])
+           for r in interval_join(ldf, rdf, lower, upper).collect()}
+    want = {
+        (i, 100 + j)
+        for i, (lk, ls) in enumerate(lefts)
+        for j, (rk, rs) in enumerate(rights)
+        if lk == rk and lower <= rs - ls <= upper
+    }
+    assert got == want
