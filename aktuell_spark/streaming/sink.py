@@ -245,9 +245,17 @@ class BucketedUpsertTable:
             return empty.select(*cols).limit(0)
         df = (
             self.spark.read.option("basePath", self.data_dir)
+            # evolved tables: older runs lack later-added columns; merge
+            # footers like read() so the range scan unions cleanly
+            .option("mergeSchema", "true")
             .parquet(*paths)
-            .select(*cols)
         )
+        missing = [c for c in self.state_cols if c not in df.columns]
+        if missing:
+            schema = {f.name: f.dataType for f in self._state_schema().fields}
+            for c in missing:
+                df = df.withColumn(c, F.lit(None).cast(schema[c]))
+        df = df.select(*cols)
         # collapse across the range: one row per key, the newest write
         df = df.repartition(
             self._write_parallelism(self.n_buckets), "bucket"

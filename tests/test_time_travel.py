@@ -274,3 +274,35 @@ def test_compact_sort_within_clusters_rows(spark, tmp_path):
                 col.column("turn_idx").to_pylist(),
             ))
             assert pairs == sorted(pairs), f"{fn} not clustered"
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    """Incremental reads spanning an add-column boundary: pre-evolution
+    epochs surface null for the new column."""
+    import pyspark.sql.types as T
+
+    root = str(tmp_path / "evo2")
+    base_payload = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    t1 = BucketedUpsertTable(
+        spark, root, n_buckets=4, merge_on_read=True, payload=base_payload
+    )
+    t1.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 0)
+    schema = T.StructType(
+        list(_batch(spark, []).schema.fields)
+        + [T.StructField("channel", T.StringType(), True)]
+    )
+    t2 = BucketedUpsertTable(
+        spark, root, n_buckets=4, merge_on_read=True,
+        payload=(*base_payload, "channel"), payload_schema=schema,
+    )
+    t2.merge_batch(
+        _batch(spark, [
+            (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:01:00"),
+        ]).withColumn("channel", F.lit("web")),
+        1,
+    )
+    got = {r["conv_id"]: r["channel"]
+           for r in t2.changes(since_epoch=-1).collect()}
+    assert got == {"a": None, "b": "web"}
