@@ -141,3 +141,31 @@ engine:
     assert {r["conv_id"] for r in got.collect()} == {"a"}
     sub_table = mgr.sinks["aktuell"].tables["aktuell.transcripts"]
     assert {r["text"] for r in sub_table.quarantined().collect()} == {"dead"}
+
+
+def test_quarantine_with_merge_on_read(spark, tmp_path):
+    table = BucketedUpsertTable(
+        spark, str(tmp_path / "qmor"), n_buckets=4,
+        merge_on_read=True, quarantine=True,
+    )
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", None, 0, "u", "dead", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    assert {r["conv_id"] for r in table.read().collect()} == {"a"}
+    assert {r["text"] for r in table.quarantined().collect()} == {"dead"}
+
+
+def test_quarantine_with_partial_updates(spark, tmp_path):
+    table = BucketedUpsertTable(
+        spark, str(tmp_path / "qpart"), n_buckets=4,
+        partial_updates=True, quarantine=True,
+    )
+    full = _batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", None, 0, "u", "dead", "", "2025-01-01 00:00:01"),
+    ]).withColumn("updated_fields", F.lit(None).cast("map<string,string>")) \
+      .withColumn("removed_fields", F.lit(None).cast("array<string>"))
+    table.merge_batch(full, 0)
+    assert {r["conv_id"] for r in table.read().collect()} == {"a"}
+    assert {r["text"] for r in table.quarantined().collect()} == {"dead"}

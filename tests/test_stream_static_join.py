@@ -77,3 +77,19 @@ def test_stream_static_rejects_partial_updates(spark, tmp_path):
             spark, str(tmp_path / "f"), str(tmp_path / "t"),
             str(tmp_path / "c"), static_dim=dim, partial_updates=True,
         )
+
+
+def test_stream_static_combines_with_enrichment(spark, tmp_path):
+    """enrich=True (text metrics) and static_dim (dim columns) stack:
+    the payload carries both."""
+    ch, feed = _feed(spark, tmp_path, seed=41)
+    dim, _ = _dim(spark, ch, drop_one=False)
+    _, table = run_cdc_pipeline(
+        spark, feed, str(tmp_path / "t"), str(tmp_path / "c"),
+        n_buckets=8, static_dim=dim, enrich=True,
+    )
+    got = table.read()
+    for col in ("quality_score", "fingerprint", "channel", "priority"):
+        assert col in got.columns, col
+    r = got.filter(F.col("text").isNotNull()).first()
+    assert r["channel"] is not None and r["quality_score"] is not None
