@@ -210,10 +210,13 @@ class BucketedUpsertTable:
                 "epochs rewrite buckets; per-epoch deltas are not kept)"
             )
         committed = self._committed_epochs()
-        if any(e <= self.COMPACT_EPOCH_BASE for e in committed):
+        if since_epoch < self._expire_floor(committed) - 1:
+            # the range must start at or after the fold point: base
+            # files are not epoch-scoped, so epochs at or below the
+            # cutoff no longer exist as per-epoch deltas
             raise ValueError(
-                "changes() unavailable: table has compacted (runs below "
-                "the compaction point were merged away)"
+                "changes() unavailable below the compaction/expiry "
+                "cutoff (those runs were folded away)"
             )
         hi = until_epoch if until_epoch is not None else max(
             (e for e in committed if e >= 0), default=since_epoch
@@ -273,6 +276,24 @@ class BucketedUpsertTable:
                 pass
         return out
 
+    def _expire_floor(self, committed: set[int]) -> int:
+        """Lowest epoch still time-travelable: the max ``expire_cutoff``
+        recorded by compaction/expiry commits, +1. Full compactions and
+        legacy markers without a recorded cutoff fold EVERYTHING —
+        returned as a floor above every real epoch (refuse all)."""
+        floor = -(1 << 62)  # no compaction: everything travelable
+        for ep in committed:
+            if ep > self.COMPACT_EPOCH_BASE:
+                continue
+            try:
+                with open(os.path.join(self.commits_dir, str(ep))) as f:
+                    rec = json.loads(f.read())
+                cutoff = rec["expire_cutoff"]
+            except (ValueError, OSError, KeyError):
+                cutoff = (1 << 62)  # legacy marker: fold-all
+            floor = max(floor, cutoff + 1)
+        return floor
+
     def _floor_at_epoch(self, committed: set[int], as_of_epoch: int) -> int | None:
         """Drop floor recorded in the newest commit marker <= E; markers
         predating floor recording fall back to the current floor
@@ -321,12 +342,12 @@ class BucketedUpsertTable:
                     committed.add(int(c))
                 except ValueError:
                     pass
-            if as_of_epoch is not None and any(
-                e <= self.COMPACT_EPOCH_BASE for e in committed
+            if as_of_epoch is not None and as_of_epoch < self._expire_floor(
+                committed
             ):
                 raise ValueError(
-                    "as_of_epoch unavailable: table has compacted (runs "
-                    "below the compaction point were merged away)"
+                    "as_of_epoch unavailable: runs at or below the "
+                    "compaction/expiry cutoff were folded away"
                 )
             paths = []
             for b in sorted(present):
@@ -610,8 +631,70 @@ class BucketedUpsertTable:
         shutil.rmtree(tmp, ignore_errors=True)
         keep.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
         n_rows = self._parquet_rows(tmp)
-        self._swap_and_commit(tmp, present, n_rows, cid, t0)
+        # record how far history folded: as-of/incremental reads above
+        # the max epoch compacted here remain valid (= current state)
+        top = max((e for e in self._committed_epochs() if 0 <= e), default=-1)
+        self._swap_and_commit(tmp, present, n_rows, cid, t0,
+                              marker_extra={"expire_cutoff": top})
         return {"removed": before - n_rows, "buckets": len(present), "rows": n_rows}
+
+    def expire_runs(self, keep_after_epoch: int) -> dict:
+        """Fold runs with epoch <= ``keep_after_epoch`` into per-bucket
+        base files, KEEPING newer runs intact (Iceberg expire_snapshots
+        analogue): time travel and ``changes()`` stay valid for epochs
+        after the cutoff, while history below it stops accumulating
+        read amplification and disk.
+
+        The base is the collapsed state AS OF the cutoff — including
+        delete tombstones (they must keep neutralizing replays) and the
+        cutoff's drop floor. Newer run files are copied into the tmp
+        image and the whole bucket swaps under the standard aside
+        protocol, so a crash at any point recovers; the compaction
+        marker records the cutoff for the as-of/changes guards.
+        """
+        if not self.merge_on_read:
+            raise ValueError("expire_runs requires merge_on_read=True")
+        self._recover()
+        t0 = time.time()
+        committed = self._committed_epochs()
+        if keep_after_epoch < self._expire_floor(committed):
+            raise ValueError("cutoff below an earlier compaction/expiry")
+        present = self._present_buckets()
+        if not present:
+            return {"buckets": 0, "rows": 0, "kept_runs": 0}
+        prior = sum(
+            1 for c in os.listdir(self.commits_dir)
+            if int(c) <= self.COMPACT_EPOCH_BASE
+        )
+        cid = self.COMPACT_EPOCH_BASE - prior
+        base = self._read_raw(as_of_epoch=keep_after_epoch)
+        if self.partial_updates and base is not None:
+            base = base.withColumn(
+                "updated_fields", F.lit(None).cast("map<string,string>")
+            ).withColumn("removed_fields", F.lit(None).cast("array<string>"))
+        tmp = os.path.join(self.root, f"_tmp-epoch-{cid}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        if base is not None:
+            base.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        n_rows = self._parquet_rows(tmp) if os.path.isdir(tmp) else 0
+        # carry newer runs (and only them) into the post-swap image
+        kept = 0
+        for b in present:
+            src = os.path.join(self.data_dir, f"bucket={b}")
+            dst = os.path.join(tmp, f"bucket={b}")
+            os.makedirs(dst, exist_ok=True)
+            for fn in sorted(os.listdir(src)):
+                if not (fn.endswith(".parquet") and fn.startswith("epoch")):
+                    continue
+                ep = int(fn[len("epoch"):fn.rfind("-")])
+                if ep in committed and ep > keep_after_epoch:
+                    shutil.copy2(os.path.join(src, fn), os.path.join(dst, fn))
+                    kept += 1
+        self._swap_and_commit(
+            tmp, present, n_rows, cid, t0,
+            marker_extra={"expire_cutoff": keep_after_epoch},
+        )
+        return {"buckets": len(present), "rows": n_rows, "kept_runs": kept}
 
     def _append_epoch_files(
         self, tmp: str, touched: list[int], n_rows: int, epoch_id: int, t0: float,
@@ -928,7 +1011,7 @@ class BucketedUpsertTable:
 
     def _swap_and_commit(
         self, tmp: str, touched: list[int], n_rows: int, epoch_id: int, t0: float,
-        phases: dict | None = None,
+        phases: dict | None = None, marker_extra: dict | None = None,
     ) -> None:
         # crash-safe swap: live bucket moves aside BEFORE the new one
         # moves in; a crash at any point leaves either image restorable
@@ -947,11 +1030,12 @@ class BucketedUpsertTable:
         shutil.rmtree(tmp, ignore_errors=True)
         if phases is not None:
             phases["swap_sec"] = round(time.time() - t_swap, 3)
-        self._commit(epoch_id, rows=n_rows, buckets=touched, t0=t0, phases=phases)
+        self._commit(epoch_id, rows=n_rows, buckets=touched, t0=t0,
+                     phases=phases, marker_extra=marker_extra)
 
     def _commit(
         self, epoch_id: int, rows: int, buckets: list[int], t0: float,
-        phases: dict | None = None,
+        phases: dict | None = None, marker_extra: dict | None = None,
     ) -> None:
         # per-epoch lineage + metrics (north rule: per-partition lineage)
         rec = {
@@ -971,7 +1055,9 @@ class BucketedUpsertTable:
             # time) so as-of reads apply the floor of THEIR epoch, not
             # today's; is_committed only tests existence, and legacy
             # "ok" markers still parse (fallback to the current floor)
-            f.write(json.dumps({"floor": self.drop_floor()}))
+            f.write(json.dumps(
+                {"floor": self.drop_floor(), **(marker_extra or {})}
+            ))
         # asides are only needed to roll back an uncommitted epoch
         shutil.rmtree(self._aside_dir(epoch_id), ignore_errors=True)
 

@@ -306,3 +306,62 @@ def test_changes_across_schema_evolution(spark, tmp_path):
     got = {r["conv_id"]: r["channel"]
            for r in t2.changes(since_epoch=-1).collect()}
     assert got == {"a": None, "b": "web"}
+
+
+# -- expire_runs (bounded history) -------------------------------------
+
+def test_expire_runs_keeps_recent_history(spark, tmp_path):
+    table = _mor(spark, tmp_path, "exp")
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    table.merge_batch(_batch(spark, [
+        (3, "update", "a", 0, "u", "a1", "", "2025-01-01 00:01:00"),
+    ]), 1)
+    table.merge_batch(_batch(spark, [
+        (4, "delete", "b", 0, None, None, None, "2025-01-01 00:02:00"),
+    ]), 2)
+    before = {(r["conv_id"], r["text"]) for r in table.read().collect()}
+    as_of_1 = {r["conv_id"]: r["text"]
+               for r in table.read(as_of_epoch=1).collect()}
+
+    res = table.expire_runs(keep_after_epoch=0)
+    assert res["kept_runs"] >= 2  # epochs 1 and 2 survive as runs
+
+    # current state unchanged by the fold
+    assert {(r["conv_id"], r["text"]) for r in table.read().collect()} == before
+    # post-cutoff time travel still works and matches pre-expire
+    assert {r["conv_id"]: r["text"]
+            for r in table.read(as_of_epoch=1).collect()} == as_of_1
+    # pre-cutoff snapshots are gone — loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cutoff"):
+        table.read(as_of_epoch=0)
+    # incremental reads above the cutoff still work; below refuse
+    ch = {(r["conv_id"], r["op"]) for r in table.changes(1, 2).collect()}
+    assert ch == {("b", "delete")}
+    with _pytest.raises(ValueError, match="cutoff"):
+        table.changes(-1, 2)
+
+
+def test_expire_runs_preserves_tombstones(spark, tmp_path):
+    """A delete folded into the base must stay a tombstone: a replayed
+    pre-delete event cannot resurrect the key."""
+    table = _mor(spark, tmp_path, "exp2")
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 0)
+    table.merge_batch(_batch(spark, [
+        (2, "delete", "a", 0, None, None, None, "2025-01-01 00:01:00"),
+    ]), 1)
+    table.merge_batch(_batch(spark, [
+        (3, "insert", "c", 0, "u", "c0", "", "2025-01-01 00:02:00"),
+    ]), 2)
+    table.expire_runs(keep_after_epoch=1)
+    # replay of the PRE-delete insert in a later epoch: LWW must keep
+    # the tombstone (seq 1 < 2)
+    table.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 3)
+    assert {r["conv_id"] for r in table.read().collect()} == {"c"}
