@@ -44,6 +44,13 @@ class ProgressRecorder(StreamingQueryListener):
             "timestamp": p.timestamp,
             "event_time": dict(p.eventTime or {}),
         }
+        # Observation-API data-quality counters (observe_quality):
+        # computed inside the batch's own job, surfaced per micro-batch
+        obs = dict(p.observedMetrics or {})
+        if obs:
+            rec["observed"] = {
+                name: row.asDict() for name, row in obs.items()
+            }
         with self._lock:
             self.progress.append(rec)
             if self.out_path:
@@ -90,3 +97,19 @@ def with_lineage(df: DataFrame, batch_id: int | None = None) -> DataFrame:
     if batch_id is not None:
         out = out.withColumn("_batch_id", F.lit(batch_id))
     return out
+
+
+def observe_quality(stream: DataFrame, name: str = "ingest") -> DataFrame:
+    """Attach per-micro-batch data-quality counters via the Observation
+    API (the Spark-native way to get in-stream metrics WITHOUT a second
+    job): event count, null-text rows, delete ops, and distinct-ish
+    conversation reach per batch — computed inside the batch's own job
+    and delivered on the progress event (ProgressRecorder stores them
+    under ``observed``). Zero extra passes, zero driver collects."""
+    return stream.observe(
+        name,
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.sum((F.col("op") == "delete").cast("long")).alias("n_deletes"),
+        F.approx_count_distinct("conv_id").alias("approx_convs"),
+    )

@@ -132,6 +132,7 @@ def run_cdc_pipeline(
     static_dim=None,
     static_dim_on: str = "conv_id",
     quarantine: bool = False,
+    observe: bool = False,
 ):
     """Run the CDC pipeline; default trigger is availableNow (bounded
     replay). Pass ``trigger={"processingTime": "2 seconds"}`` for the
@@ -176,6 +177,13 @@ def run_cdc_pipeline(
         )
     stream = read_change_stream(spark, feed_dir, max_files_per_trigger)
     stream = subscription_filter(stream, database, collection)
+    if observe:
+        # per-micro-batch data-quality counters on the progress event
+        # (Observation API — computed inside the batch's job, no second
+        # pass); ProgressRecorder surfaces them under "observed"
+        from aktuell_spark.streaming.metrics import observe_quality
+
+        stream = observe_quality(stream)
     dim_cols: tuple[str, ...] = ()
     if static_dim is not None:
         # stream-static enrichment: Spark re-plans the join per

@@ -177,3 +177,36 @@ def test_pipeline_with_enrichment(spark, tmp_path):
         assert r["n_tokens"] == len(r["text"].split())
         assert len(r["fingerprint"]) == 16
         assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_observe_quality_metrics_on_progress(spark, tmp_path):
+    """Observation-API counters ride the progress events: per batch,
+    event count / null-text rows / deletes, with no extra Spark job."""
+    from aktuell_spark.streaming.metrics import ProgressRecorder
+
+    feed, table_root, ckpt = _dirs(tmp_path)
+    t = gen_transcripts(spark, n_convs=10, avg_turns=5, hot_turns=10, seed=3)
+    ch = gen_transcript_changes(t, seed=3).localCheckpoint()
+    write_change_feed(ch, feed, n_files=2)
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        _, table = run_cdc_pipeline(
+            spark, feed, table_root, ckpt, n_buckets=4, observe=True
+        )
+        import time as _t
+        for _ in range(40):  # listener bus is async
+            with rec._lock:
+                got = [p for p in rec.progress if p.get("observed")]
+            if got:
+                break
+            _t.sleep(0.5)
+        assert got, "no observed metrics arrived on progress events"
+        obs = got[0]["observed"]["ingest"]
+        total_events = sum(
+            p["observed"]["ingest"]["n_events"] for p in got
+        )
+        assert total_events == ch.count()
+        assert {"n_events", "n_null_text", "n_deletes", "approx_convs"} <= set(obs)
+    finally:
+        spark.streams.removeListener(rec)
