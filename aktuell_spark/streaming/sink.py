@@ -1093,6 +1093,24 @@ class BucketedUpsertTable:
             return batch_df
         return batch_df.filter(marker | ok)
 
+    def vacuum_quarantine(self, up_to_epoch: int) -> int:
+        """Drop dead-letter dirs of epochs <= ``up_to_epoch`` (after the
+        operator has inspected/re-driven them — the quarantine is a
+        review queue, not an archive). Returns dirs removed. Safe at
+        any time: quarantined rows never participate in merges."""
+        removed = 0
+        if not os.path.isdir(self.quarantine_dir):
+            return 0
+        for d in sorted(os.listdir(self.quarantine_dir)):
+            if not d.startswith("epoch-"):
+                continue
+            if int(d[len("epoch-"):]) <= up_to_epoch:
+                shutil.rmtree(
+                    os.path.join(self.quarantine_dir, d), ignore_errors=True
+                )
+                removed += 1
+        return removed
+
     def quarantined(self) -> DataFrame | None:
         """Every dead-lettered event across epochs (None if clean)."""
         if not os.path.isdir(self.quarantine_dir):

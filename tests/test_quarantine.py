@@ -169,3 +169,18 @@ def test_quarantine_with_partial_updates(spark, tmp_path):
     table.merge_batch(full, 0)
     assert {r["conv_id"] for r in table.read().collect()} == {"a"}
     assert {r["text"] for r in table.quarantined().collect()} == {"dead"}
+
+
+def test_vacuum_quarantine(spark, tmp_path):
+    table = BucketedUpsertTable(
+        spark, str(tmp_path / "qv"), n_buckets=4, quarantine=True
+    )
+    for ep in (0, 1):
+        table.merge_batch(_batch(spark, [
+            (10 * ep + 1, "insert", "a", ep, "u", "ok", "", "2025-01-01 00:00:00"),
+            (10 * ep + 2, "insert", None, ep, "u", f"dead{ep}", "", "2025-01-01 00:00:01"),
+        ]), ep)
+    assert table.quarantined().count() == 2
+    assert table.vacuum_quarantine(up_to_epoch=0) == 1
+    assert {r["text"] for r in table.quarantined().collect()} == {"dead1"}
+    assert table.read().count() == 2  # data untouched
