@@ -244,7 +244,18 @@ def _repetition_counts_udf():
                ("total_chars", "n_tokens", "top2_chars", "top3_chars",
                 "dup5_chars")}
         for t in text:
-            toks = (t or "").strip().split()
+            if t is None:
+                # engine split semantics: split(NULL) is NULL, so every
+                # stat propagates null (the DuckDB oracle's
+                # regexp_split_to_array(NULL) agrees)
+                for k in out:
+                    out[k].append(None)
+                continue
+            stripped = t.strip()
+            # regexp_split_to_array('', '\\s+') yields [''] — one empty
+            # token — and str.split() yields []; mirror the engine so
+            # empty-after-trim text counts 1 token on both sides
+            toks = stripped.split() if stripped else [""]
             lens = [len(x) for x in toks]
             total = sum(lens)
             n = len(toks)
@@ -273,7 +284,9 @@ def _repetition_counts_udf():
             out["top2_chars"].append(top_gram_chars(2))
             out["top3_chars"].append(top_gram_chars(3))
             out["dup5_chars"].append(dup_coverage_chars(5))
-        return pd.DataFrame(out)
+        # nullable Int64: None entries (null-text rows) must reach Arrow
+        # as nulls, not float64 NaN
+        return pd.DataFrame({k: pd.array(v, dtype="Int64") for k, v in out.items()})
 
     return rep_counts
 

@@ -286,6 +286,93 @@ def reconstruct_post_images(
     )
 
 
+def merge_delta_chains(
+    events: DataFrame,
+    key: Sequence[str] = KEY_COLS,
+    order_col: str = "seq",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Fold a per-key chain of partial updates into ONE net partial.
+
+    The change-feed analogue of ``reconstruct_post_images`` for keys
+    that have no full image in the folded range: the output row is
+    still a partial update (``op='update'``, null payload columns) but
+    its ``updated_fields``/``removed_fields`` are the NET delta of the
+    whole chain — a later set of field c wins over an earlier one, a
+    removal cancels an earlier set (and vice versa), and the envelope
+    ``ts``/``seq`` advance to the newest event's. Applying the merged
+    delta to any base state gives the same result as applying the chain
+    event-by-event in ``seq`` order (MongoDB update semantics,
+    reference pkg/models/types.go:17-18).
+
+    One hash-agg ``collect_list`` per key (bounded by a key's in-flight
+    delta chain, not table size) + a JVM-side higher-order fold — no
+    Python, no window sort. Non-key columns other than the delta maps
+    and the envelope pass through from the newest event.
+    """
+    empty_map = F.create_map().cast("map<string,string>")
+    empty_arr = F.array().cast("array<string>")
+    other = [
+        c for c in events.columns
+        if c not in (*key, "updated_fields", "removed_fields", ts_col, order_col)
+    ]
+    chains = events.groupBy(*key).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("seq"),
+                    F.col("updated_fields").alias("uf"),
+                    F.col("removed_fields").alias("rf"),
+                    F.col(ts_col).alias("ts"),
+                )
+            ),
+            lambda l, r: F.when(l["seq"] < r["seq"], F.lit(-1))
+            .when(l["seq"] > r["seq"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ).alias("_chain"),
+        F.max_by(
+            F.struct(*[F.col(c) for c in other]), F.col(order_col)
+        ).alias("_r"),
+    )
+
+    def _fold(acc, u):
+        uf = F.coalesce(u["uf"], empty_map)
+        rf = F.coalesce(u["rf"], empty_arr)
+        # fields set by this event win; fields it removes drop out of
+        # the accumulated set-map, and fields it sets drop out of the
+        # accumulated removal list (an event's own uf/rf are disjoint)
+        kept = F.map_filter(
+            acc["uf"],
+            lambda k, _v: ~F.map_contains_key(uf, k) & ~F.array_contains(rf, k),
+        )
+        return F.struct(
+            F.map_concat(kept, uf).alias("uf"),
+            F.array_distinct(
+                F.concat(
+                    F.filter(acc["rf"], lambda f: ~F.map_contains_key(uf, f)), rf
+                )
+            ).alias("rf"),
+            u["ts"].alias("ts"),
+            u["seq"].alias("seq"),
+        )
+
+    init = F.struct(
+        empty_map.alias("uf"),
+        empty_arr.alias("rf"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("seq"),
+    )
+    folded = F.aggregate(F.col("_chain"), init, _fold)
+    return chains.select(
+        *key,
+        *[F.col(f"_r.{c}").alias(c) for c in other],
+        folded["uf"].alias("updated_fields"),
+        folded["rf"].alias("removed_fields"),
+        folded["ts"].alias(ts_col),
+        folded["seq"].alias(order_col),
+    )
+
+
 def latest_image(
     events: DataFrame,
     key: Sequence[str] = KEY_COLS,

@@ -55,6 +55,7 @@ def connected_components(
         .localCheckpoint()
     )
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    changed = 0
     for _ in range(max_rounds):
         nbr = (
             sym.join(
@@ -76,6 +77,17 @@ def connected_components(
         labels = staged.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed != 0:
+        # silent non-convergence would hand wrong cluster_ids to every
+        # downstream dedup decision — refuse loudly instead. Rounds
+        # needed = graph diameter; dup graphs are shallow, so hitting
+        # this means the input is not a near-dup pair graph (or
+        # max_rounds was set far too low for a pathological chain).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds (labels still changing); raise max_rounds or use a "
+            "large-star/small-star variant for high-diameter graphs"
+        )
     return labels.select(F.col("u").alias("vertex"), F.col("label").alias("cluster_id"))
 
 

@@ -83,8 +83,8 @@ def interval_join(
     out = joined.filter(
         (F.col("_rt") - F.col("_lt") >= lower_us)
         & (F.col("_rt") - F.col("_lt") <= upper_us)
-    ).withColumn("gap_us", F.col("_rt") - F.col("_lt")).withColumn(
-        "gap_seconds", F.floor(F.col("gap_us") / 1_000_000)
+    ).withColumn("_gap_us", F.col("_rt") - F.col("_lt")).withColumn(
+        "gap_seconds", F.floor(F.col("_gap_us") / 1_000_000)
     )
     drop = [c for c in out.columns if c.startswith("_")]
     return out.drop(*drop)

@@ -263,9 +263,46 @@ class BucketedUpsertTable:
         df = df.repartition(
             self._write_parallelism(self.n_buckets), "bucket"
         )
-        return collapse_last_writer_wins(
-            df, key=("bucket", *self.key), order_col=self.order_col
+        if not mor_partial:
+            return collapse_last_writer_wins(
+                df, key=("bucket", *self.key), order_col=self.order_col
+            )
+        # partial-updates tables: a plain LWW collapse would keep only the
+        # NEWEST delta row for a key touched in several epochs of the
+        # range, silently dropping earlier epochs' updated_fields /
+        # removed_fields. Per-key net change instead: keys with a full
+        # image in the range fold to the reconstructed post-image (delta
+        # maps nulled — the row IS the new state); delta-only keys fold
+        # their chains into ONE net partial via merge_delta_chains, so a
+        # downstream partial-updates sink applying the feed converges to
+        # the same state as applying every epoch one by one.
+        from aktuell_spark.operators.cdc import (
+            is_partial_update,
+            merge_delta_chains,
+            reconstruct_post_images,
         )
+
+        keyb = ["bucket", *self.key]
+        part = is_partial_update(df)
+        base_keys = df.filter(~part).select(*keyb).distinct()
+        full_side = reconstruct_post_images(
+            df.join(base_keys, on=keyb, how="left_semi"),
+            key=keyb,
+            order_col=self.order_col,
+            delta_cols=self.delta_cols,
+            ts_col=self.ts_col,
+        ).withColumn(
+            "updated_fields", F.lit(None).cast("map<string,string>")
+        ).withColumn(
+            "removed_fields", F.lit(None).cast("array<string>")
+        )
+        delta_side = merge_delta_chains(
+            df.filter(part).join(base_keys, on=keyb, how="left_anti"),
+            key=keyb,
+            order_col=self.order_col,
+            ts_col=self.ts_col,
+        )
+        return full_side.select(*cols).unionByName(delta_side.select(*cols))
 
     def _committed_epochs(self) -> set[int]:
         out = set()
@@ -1045,7 +1082,12 @@ class BucketedUpsertTable:
             "merge_sec": round(time.time() - t0, 3),
         }
         if self.quarantine:
-            rec["quarantined_rows"] = getattr(self, "_last_quarantined", 0)
+            # only when the split actually ran for THIS epoch —
+            # compact()/expire_runs() commits never quarantine, and the
+            # stale count from the previous merge epoch must not be
+            # re-attributed to them in the lineage record
+            if getattr(self, "_last_quarantined_epoch", None) == epoch_id:
+                rec["quarantined_rows"] = getattr(self, "_last_quarantined", 0)
         if phases:
             rec["phases"] = phases
         with open(os.path.join(self.metrics_dir, f"epoch-{epoch_id}.json"), "w") as f:
@@ -1088,6 +1130,7 @@ class BucketedUpsertTable:
             if f.endswith(".parquet")
         )
         self._last_quarantined = n_bad
+        self._last_quarantined_epoch = epoch_id
         if n_bad == 0:
             shutil.rmtree(qdir, ignore_errors=True)
             return batch_df
