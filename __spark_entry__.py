@@ -96,10 +96,19 @@ def _stream_cdc_mor_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {name: fn for name, (fn, _sql) in QUERIES.items()}
-    out["stream_cdc_materialize"] = _stream_cdc_materialize
-    out["stream_cdc_mor"] = _stream_cdc_mor
-    out["stream_cdc_mor_partial"] = _stream_cdc_mor_partial
+    """Exactly DRIVER_WINDOW (50) entries: the registry head (queries
+    the r4 driver window missed), then the three rows-only streaming
+    variants, then the merged/core tail — every entry gets a driver
+    correctness row (tests/test_registry_window.py pins this)."""
+    from aktuell_spark.queries import STREAM_INSERT_AFTER
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _sql) in QUERIES.items():
+        out[name] = fn
+        if name == STREAM_INSERT_AFTER:
+            out["stream_cdc_materialize"] = _stream_cdc_materialize
+            out["stream_cdc_mor"] = _stream_cdc_mor
+            out["stream_cdc_mor_partial"] = _stream_cdc_mor_partial
     return out
 
 

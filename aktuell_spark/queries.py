@@ -2587,3 +2587,329 @@ WHERE q.quality_score >= {CURATE_MIN_QUALITY}
 
 
 QUERIES.update({"curate_corpus": (q_curate_corpus, _curate_corpus_sql())})
+
+
+# ----------------------------------------------------------------------
+# Round-5: merged family queries + registry windowing.
+#
+# The driver's correctness gate grades the FIRST 50 entries of
+# ``__spark_entry__.queries()`` in insertion order. Round 4 grew the
+# registry to 72, pushing every round-4 operator out of the graded
+# window (VERDICT r4 #1). Fix: (a) the previously-ungraded queries move
+# to the HEAD of the registry, and (b) near-duplicate per-operator
+# queries fold into merged family queries (union/join of the SAME
+# underlying operators and the SAME oracle SQL blocks), so the whole
+# registry fits in 50 entries WITHOUT losing value-verification for any
+# operator. The individual queries stay importable (and benchable) in
+# ``EXTRA_QUERIES``.
+# ----------------------------------------------------------------------
+
+def q_windows_rollup(spark, sf_dir):
+    """Window family in ONE graded query: tumbling 1h (W3/A4), sliding
+    1h/15m (A4), and the 60s/10s events-per-second rate (W2), unioned
+    under a ``kind`` tag. Each leg is the SAME operator as its former
+    standalone query; the oracle unions the same three SQL blocks."""
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+    t = q_tumbling_window(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"), "event_type", "window_start",
+        "n", nul_d.alias("rate_per_sec"),
+    )
+    s = q_sliding_window(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"), "event_type", "window_start",
+        "n", nul_d.alias("rate_per_sec"),
+    )
+    r = q_rate_per_second(spark, sf_dir).select(
+        F.lit("rate").alias("kind"), nul_s.alias("event_type"),
+        "window_start", "n", "rate_per_sec",
+    )
+    return t.unionByName(s).unionByName(r)
+
+
+SQL_WINDOWS_ROLLUP = f"""
+SELECT 'tumbling' AS kind, event_type, window_start, n,
+       CAST(NULL AS DOUBLE) AS rate_per_sec
+FROM ({SQL_TUMBLING_WINDOW})
+UNION ALL
+SELECT 'sliding' AS kind, event_type, window_start, n,
+       CAST(NULL AS DOUBLE) AS rate_per_sec
+FROM ({SQL_SLIDING_WINDOW})
+UNION ALL
+SELECT 'rate' AS kind, CAST(NULL AS VARCHAR) AS event_type,
+       window_start, n, rate_per_sec
+FROM ({SQL_RATE_PER_SECOND})
+"""
+
+
+def q_textops_profile(spark, sf_dir):
+    """Scalar text-function family in ONE graded query: whitespace +
+    BPE-ish token stats, quality score, language ID (all narrow
+    zero-shuffle maps over the same scan) joined with the PII scrub leg
+    (which runs on the PII-injected copy, exactly as its former
+    standalone query did)."""
+    from aktuell_spark.functions.textops import (
+        with_bpe_token_stats,
+        with_lang_id,
+        with_quality_score,
+        with_token_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    prof = with_lang_id(
+        with_quality_score(with_bpe_token_stats(with_token_stats(docs)))
+    ).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len",
+        "n_bpe_tokens", "n_distinct_bpe", "punct_ratio",
+        "stopword_ratio", "distinct_ratio", "quality_score",
+        "pred_lang", "lang_score",
+    )
+    pii = q_pii_scrub(spark, sf_dir)
+    return prof.join(pii, "doc_id")
+
+
+def _textops_profile_sql() -> str:
+    return f"""
+SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens, t.avg_token_len,
+       b.n_bpe_tokens, b.n_distinct_bpe, b.punct_ratio,
+       q.stopword_ratio, q.distinct_ratio, q.quality_score,
+       l.pred_lang, l.lang_score, p.had_pii, p.text_scrubbed
+FROM ({SQL_TOKEN_STATS}) t
+JOIN ({_token_stats_bpe_sql()}) b USING (doc_id)
+JOIN ({SQL_QUALITY_SCORE}) q USING (doc_id)
+JOIN ({SQL_LANG_ID}) l USING (doc_id)
+JOIN ({SQL_PII_SCRUB}) p USING (doc_id)
+"""
+
+
+def q_dedup_pairs_all(spark, sf_dir):
+    """Dedup family in ONE graded query, normalized to a generic
+    (method, id_a, id_b, val_num, val_str) shape: exact fingerprint
+    groups, 3-gram Jaccard pairs, MinHash signatures, MinHash-LSH
+    verified pairs, SimHash values, and embedding-cosine near-dup pairs
+    — each leg the SAME operator + oracle SQL as its former standalone
+    query. 64-bit values (simhash) travel as strings: a DOUBLE would
+    silently lose bits past 2^53."""
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+
+    def leg(df, method, id_a, id_b, val_num, val_str):
+        return df.select(
+            F.lit(method).alias("method"),
+            id_a.cast("string").alias("id_a"),
+            (id_b.cast("string") if id_b is not None else nul_s).alias("id_b"),
+            (val_num.cast("double") if val_num is not None else nul_d).alias("val_num"),
+            (val_str if val_str is not None else nul_s).alias("val_str"),
+        )
+
+    c = F.col
+    legs = [
+        leg(q_exact_dedup(spark, sf_dir), "exact",
+            c("fingerprint"), c("canonical_id"), c("n_copies"), None),
+        leg(q_near_dup_jaccard(spark, sf_dir), "jaccard",
+            c("doc_a"), c("doc_b"), c("jaccard"), None),
+        leg(q_minhash_signatures(spark, sf_dir), "minhash_sig",
+            c("doc_id"), None, None, c("sig_str")),
+        leg(q_minhash_lsh_pairs(spark, sf_dir), "minhash_lsh",
+            c("doc_a"), c("doc_b"), c("jaccard"), None),
+        leg(q_simhash(spark, sf_dir), "simhash",
+            c("doc_id"), None, None, c("simhash").cast("string")),
+        leg(q_embedding_near_dup(spark, sf_dir), "embedding",
+            c("vec_a"), c("vec_b"), c("sim"), None),
+    ]
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def _dedup_pairs_all_sql() -> str:
+    def leg(sql, method, id_a, id_b, val_num, val_str):
+        return f"""
+SELECT '{method}' AS method,
+       CAST({id_a} AS VARCHAR) AS id_a,
+       {f'CAST({id_b} AS VARCHAR)' if id_b else 'CAST(NULL AS VARCHAR)'} AS id_b,
+       {f'CAST({val_num} AS DOUBLE)' if val_num else 'CAST(NULL AS DOUBLE)'} AS val_num,
+       {val_str if val_str else 'CAST(NULL AS VARCHAR)'} AS val_str
+FROM ({sql})"""
+
+    return "\nUNION ALL".join([
+        leg(SQL_EXACT_DEDUP, "exact", "fingerprint", "canonical_id", "n_copies", None),
+        leg(SQL_NEAR_DUP_JACCARD, "jaccard", "doc_a", "doc_b", "jaccard", None),
+        leg(_minhash_sql(), "minhash_sig", "doc_id", None, None, "sig_str"),
+        leg(_minhash_lsh_sql(), "minhash_lsh", "doc_a", "doc_b", "jaccard", None),
+        leg(SQL_SIMHASH, "simhash", "doc_id", None, None, "CAST(simhash AS VARCHAR)"),
+        leg(SQL_EMBEDDING_NEAR_DUP, "embedding", "vec_a", "vec_b", "sim", None),
+    ])
+
+
+def q_knn_methods(spark, sf_dir):
+    """ANN family in ONE graded query: brute-force cosine (the
+    correctness baseline), sign-plane LSH, multi-probe LSH, IVF over
+    fixed centroids, and IVF over in-engine-trained k-means centroids —
+    all five emit (query_id, neighbor_id, rank, sim) and union under a
+    ``method`` tag. Same operators + oracle SQL as the former
+    standalone queries."""
+    legs = [
+        ("bruteforce", q_knn_bruteforce),
+        ("lsh", q_knn_lsh),
+        ("multiprobe", q_knn_multiprobe),
+        ("ivf", q_knn_ivf),
+        ("ivf_trained", q_knn_ivf_trained),
+    ]
+    out = None
+    for method, fn in legs:
+        df = fn(spark, sf_dir).select(
+            F.lit(method).alias("method"),
+            "query_id", "neighbor_id", "rank", "sim",
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _knn_methods_sql() -> str:
+    legs = [
+        ("bruteforce", SQL_KNN_BRUTEFORCE),
+        ("lsh", SQL_KNN_LSH),
+        ("multiprobe", _knn_multiprobe_sql()),
+        ("ivf", _knn_ivf_sql()),
+        ("ivf_trained", _knn_ivf_trained_sql()),
+    ]
+    return "\nUNION ALL".join(
+        f"\nSELECT '{m}' AS method, query_id, neighbor_id, rank, sim FROM ({sql})"
+        for m, sql in legs
+    )
+
+
+# -- oracle upgrades (VERDICT r4 "What's wrong" #3) --------------------
+
+HLL_TOLERANCE = 0.05  # 2.5 sigma at rsd=0.02 — generous, deterministic
+
+
+def q_hll_distinct_checked(spark, sf_dir):
+    """HyperLogLog distinct, now ORACLE-CHECKABLE: emits the exact
+    distinct count (which DuckDB recomputes) plus a boolean asserting
+    the HLL estimate landed within HLL_TOLERANCE of it (which the
+    oracle pins to TRUE — a sketch blowing its error bound turns the
+    row red instead of hiding behind rows-only)."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    )
+    within = (
+        F.abs(F.col("_approx") - F.col("n_users_exact"))
+        <= F.lit(HLL_TOLERANCE) * F.col("n_users_exact")
+    )
+    return agg.select(
+        "event_type", "n_users_exact", within.alias("approx_within_tol")
+    )
+
+
+SQL_HLL_DISTINCT_CHECKED = """
+SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+       TRUE AS approx_within_tol
+FROM events GROUP BY event_type
+"""
+
+
+MEDIA_META_N = 256
+
+
+def q_media_meta_checked(spark, sf_dir):
+    """REAL multimodal codec path, now ORACLE-CHECKABLE: the synthesized
+    PNG/WAV fixtures are closed-form in media_id (dims/rates/sample
+    counts are arithmetic on the id; every 8th payload is corrupt), so
+    DuckDB reproduces the full expected decode table from ``range(n)``
+    — the Spark side must round-trip synthesize → encode → Arrow-batched
+    header decode to the same rows. ``n_bytes`` is excluded (zlib
+    stream length is not SQL-expressible); everything else is graded."""
+    from aktuell_spark.functions.multimodal import (
+        extract_media_meta,
+        synthesize_real_media,
+    )
+    from aktuell_spark.session import _ship_package
+
+    _ship_package(spark)
+    media = synthesize_real_media(spark, n=MEDIA_META_N, seed=42)
+    return extract_media_meta(media).select(
+        "media_id", "mime", "valid", "width", "height",
+        "channels", "bit_depth", "sample_rate", "n_samples",
+    )
+
+
+def _media_meta_checked_sql() -> str:
+    # mirrors synthesize_real_media: i%8==7 -> corrupt PNG; even -> PNG
+    # (w=4+i%13, h=3+i%7, 8-bit RGB); odd -> WAV (1+i%2 ch,
+    # 8000*(1+i%3) Hz, 16-bit, 50+i%40 samples)
+    return f"""
+SELECT i AS media_id,
+  CASE WHEN i % 2 = 0 OR i % 8 = 7 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+  (i % 8 <> 7) AS valid,
+  CAST(CASE WHEN i % 8 <> 7 AND i % 2 = 0 THEN 4 + i % 13 END AS INTEGER) AS width,
+  CAST(CASE WHEN i % 8 <> 7 AND i % 2 = 0 THEN 3 + i % 7 END AS INTEGER) AS height,
+  CAST(CASE WHEN i % 8 = 7 THEN NULL
+            WHEN i % 2 = 0 THEN 3 ELSE 1 + i % 2 END AS INTEGER) AS channels,
+  CAST(CASE WHEN i % 8 = 7 THEN NULL
+            WHEN i % 2 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bit_depth,
+  CAST(CASE WHEN i % 8 <> 7 AND i % 2 = 1 THEN 8000 * (1 + i % 3) END AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN i % 8 <> 7 AND i % 2 = 1 THEN 50 + i % 40 END AS INTEGER) AS n_samples
+FROM range({MEDIA_META_N}) t(i)
+"""
+
+
+# ----------------------------------------------------------------------
+# Final registry: exactly DRIVER_WINDOW entries, previously-ungraded
+# queries FIRST. ``__spark_entry__`` inserts the three stream_cdc_*
+# rows-only entries after the head block (STREAM_INSERT_AFTER), keeping
+# the total at 50. Rotated-out standalone queries live in
+# EXTRA_QUERIES — still importable, still benched, still covered by
+# tools/check_oracle.py --extra.
+# ----------------------------------------------------------------------
+
+QUERIES.update(
+    {
+        "windows_rollup": (q_windows_rollup, SQL_WINDOWS_ROLLUP),
+        "textops_profile": (q_textops_profile, _textops_profile_sql()),
+        "dedup_pairs_all": (q_dedup_pairs_all, _dedup_pairs_all_sql()),
+        "knn_methods": (q_knn_methods, _knn_methods_sql()),
+    }
+)
+# oracle upgrades replace the rows-only variants under the same name
+QUERIES["hll_distinct"] = (q_hll_distinct_checked, SQL_HLL_DISTINCT_CHECKED)
+QUERIES["media_meta"] = (q_media_meta_checked, _media_meta_checked_sql())
+
+DRIVER_WINDOW = 50
+
+# head: every query the r4 driver window missed (VERDICT r4 #1), graded
+# first so a future window shrink still covers them
+_HEAD = (
+    "deterministic_sample", "cep_funnel", "scd2_history",
+    "winnow_fingerprints", "winnow_pairs", "gopher_repetition",
+    "decontaminate", "ann_quantized", "dedup_clusters",
+    "stratified_sample", "pack_sequences", "tfidf_top_terms",
+    "dedup_corpus", "interval_join", "turn_tool_join_native",
+    "funnel_rate", "top_paths", "cohort_retention", "curate_corpus",
+)
+# __spark_entry__ inserts stream_cdc_materialize / _mor / _mor_partial
+# here (3 entries)
+STREAM_INSERT_AFTER = _HEAD[-1]
+
+_TAIL = (
+    "subscription_filter", "json_projection", "snapshot_scan",
+    "count_filtered", "postimage_enrich", "cdc_latest_image", "op_counts",
+    "partial_update_materialize", "drop_mid_feed",
+    "multi_subscription_routing", "residual_projection", "rename_routing",
+    "snapshot_batches", "windows_rollup", "session_window", "topk_recent",
+    "textops_profile", "dedup_pairs_all", "knn_methods", "salted_agg",
+    "value_percentiles", "hll_distinct", "rollup_report", "pivot_counts",
+    "stateful_turn_tool_join", "multimodal_features", "media_meta",
+    "asof_join",
+)
+
+assert len(_HEAD) + 3 + len(_TAIL) == DRIVER_WINDOW, (len(_HEAD), len(_TAIL))
+assert not (set(_HEAD) & set(_TAIL))
+
+EXTRA_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    k: v for k, v in QUERIES.items() if k not in (*_HEAD, *_TAIL)
+}
+QUERIES = {name: QUERIES[name] for name in (*_HEAD, *_TAIL)}

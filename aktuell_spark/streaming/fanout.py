@@ -24,7 +24,8 @@ keys) — the predicate selects which LIVE documents the subscriber sees.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+import threading
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,19 +42,35 @@ class Subscription:
     database: str = ""
     collection: str = ""
     predicate: str | None = None
+    # runtime predicate updates as epoch-stamped cutovers
+    # [(from_epoch, predicate)], newest-applicable wins: a filter change
+    # on a LIVE subscription takes effect at a known epoch boundary
+    # instead of requiring a reseed, and an uncommitted epoch replayed
+    # after a crash re-merges under the predicate that epoch had
+    # (committed replays are no-ops via the table's commit markers
+    # either way). In-memory, like the reference's per-client
+    # subscription state (pkg/server/websocket.go:445-531).
+    predicate_updates: list = field(default_factory=list)
 
-    def apply(self, df: DataFrame) -> DataFrame:
+    def predicate_at(self, epoch_id: int | None) -> str | None:
+        pred = self.predicate
+        for from_epoch, p in self.predicate_updates:
+            if epoch_id is None or epoch_id >= from_epoch:
+                pred = p
+        return pred
+
+    def apply(self, df: DataFrame, epoch_id: int | None = None) -> DataFrame:
         from pyspark.sql import functions as F
 
         out = subscription_filter(df, self.database, self.collection)
-        if self.predicate:
+        pred = self.predicate_at(epoch_id)
+        if pred:
             # deletes (and collection markers) bypass the doc-level
             # predicate: payload fields are null on a delete event, so a
             # payload predicate would silently drop it and the
             # subscription table would keep the deleted key forever
             out = out.filter(
-                F.col("op").isin("delete", "drop", "rename")
-                | F.expr(self.predicate)
+                F.col("op").isin("delete", "drop", "rename") | F.expr(pred)
             )
         return out
 
@@ -96,6 +113,22 @@ class FanoutSink:
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate subscription names: {names}")
         self.subs = list(subs)
+        # runtime subscribe/unsubscribe on a LIVE sink (the reference's
+        # core interactive feature, pkg/server/websocket.go:445-531,
+        # 633-662): mutations and per-epoch membership snapshots
+        # synchronize here; frozen tables of removed subscriptions stay
+        # readable until drop
+        self._lifecycle_lock = threading.Lock()
+        self._last_epoch = -1
+        self._frozen: dict[str, BucketedUpsertTable] = {}
+        self._spark = spark
+        self._root = root
+        self._table_kwargs = dict(
+            n_buckets=n_buckets,
+            partial_updates=partial_updates,
+            merge_on_read=merge_on_read,
+            quarantine=quarantine,
+        )
         # rename_aware: a rename marker (op='rename', extra['to']=target,
         # reference op enum pkg/models/types.go:101-108) MOVES documents:
         # the target collection's subscriptions are seeded from the source
@@ -124,8 +157,16 @@ class FanoutSink:
         }
 
     def merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        with self._lifecycle_lock:
+            # snapshot the live subscription list: add/remove_subscription
+            # may run on another thread while this epoch merges; the
+            # epoch uses the membership it started with (the reference's
+            # hub delivers in-flight messages to the client set at send
+            # time, pkg/server/websocket.go:226-249)
+            subs = list(self.subs)
+            self._last_epoch = max(self._last_epoch, epoch_id)
         pending = [
-            s for s in self.subs if not self.tables[s.name].is_committed(epoch_id)
+            s for s in subs if not self.tables[s.name].is_committed(epoch_id)
         ]
         if not pending and not self.rename_aware:
             return
@@ -151,12 +192,12 @@ class FanoutSink:
                     if prev is not None:
                         seg = seg.filter(F.col("seq") >= prev)
                     self._merge_subs(
-                        self.subs, seg, self.RENAME_SEG_BASE - epoch_id * 100 - i
+                        subs, seg, self.RENAME_SEG_BASE - epoch_id * 100 - i
                     )
                     self._apply_rename(seq, old, new, ts)
                     prev = seq
                 self._merge_subs(
-                    self.subs, batch_df.filter(F.col("seq") >= prev), epoch_id
+                    subs, batch_df.filter(F.col("seq") >= prev), epoch_id
                 )
             elif renames:
                 # independent renames: merge everything that is not a
@@ -180,7 +221,7 @@ class FanoutSink:
             return
         if len(pending) == 1:
             s = pending[0]
-            self.tables[s.name].merge_batch(s.apply(batch_df), epoch_id)
+            self.tables[s.name].merge_batch(s.apply(batch_df, epoch_id), epoch_id)
             return
         # concurrent per-subscription merges over the shared
         # cached batch: Spark's scheduler interleaves jobs from
@@ -199,7 +240,7 @@ class FanoutSink:
             futs = [
                 pool.submit(
                     self.tables[s.name].merge_batch,
-                    s.apply(batch_df),
+                    s.apply(batch_df, epoch_id),
                     epoch_id,
                 )
                 for s in pending
@@ -286,11 +327,122 @@ class FanoutSink:
                     )
                 st.merge_batch(drop_df, drop_epoch)
 
+    # reserved epoch-id space for runtime-subscribe snapshot seeds:
+    # between the compaction base (-1e6 - k) and the rename-segment base
+    # (-2e9), so seed commits never collide with either. Each seed takes
+    # the next free id below the base (scan of the table's own commit
+    # markers), so re-bootstrapping a resumed table is NOT skipped by an
+    # old seed's marker, and a crash-replayed seed re-merges the same
+    # content (harmless by LWW).
+    SEED_EPOCH_BASE = -2_000_000
+
+    def add_subscription(
+        self, sub: Subscription, seed_df: DataFrame | None = None
+    ) -> BucketedUpsertTable:
+        """Subscribe on a RUNNING sink (the reference's runtime
+        subscribe, pkg/server/websocket.go:445-531; snapshot-then-tail
+        bootstrap protocol at websocket.go:534-631).
+
+        Registration happens FIRST (under the lock), so every epoch
+        that starts after this call merges into the new table; only
+        then is ``seed_df`` merged — the snapshot leg. ``seed_df`` is
+        the subscriber's current-state view (state-shaped rows, e.g.
+        another table's ``read()`` or a base-table snapshot ALREADY
+        filtered to this subscription's scope); its rows enter as
+        synthetic inserts with unique NEGATIVE seqs, so any live change
+        — including one racing this call — wins the LWW merge exactly
+        like the client applying changes over its snapshot array. The
+        seed commits under SEED_EPOCH, making re-bootstrap idempotent.
+
+        A previously removed subscription of the same name resumes its
+        frozen table (the reference's resubscribe,
+        pkg/client/client.go:469-485). For that gap-filling case the
+        negative-seq snapshot seed is NOT enough — stale positive-seq
+        rows in the frozen table would beat it under LWW — so a seed
+        that carries ``seq``/``op`` columns (e.g. another same-scope
+        table's ``read_with_lineage()``, tombstones included) is merged
+        AS-IS: rows keep their true seqs and LWW resolves them against
+        both stale frozen rows and future live events.
+        """
+        from pyspark.sql import functions as F
+
+        with self._lifecycle_lock:
+            if any(s.name == sub.name for s in self.subs):
+                raise ValueError(f"subscription {sub.name!r} already live")
+            table = self._frozen.pop(sub.name, None)
+            if table is None:
+                table = BucketedUpsertTable(
+                    self._spark,
+                    os.path.join(self._root, f"sub={sub.name}"),
+                    **self._table_kwargs,
+                )
+            self.tables[sub.name] = table
+            self.subs.append(sub)
+        if seed_df is not None:
+            if "seq" in seed_df.columns and "op" in seed_df.columns:
+                seeded = seed_df.select(*table.state_cols)
+            else:
+                seeded = (
+                    seed_df.select(*table.payload)
+                    .withColumn(
+                        "seq",
+                        (F.lit(-1) - F.monotonically_increasing_id()).cast("long"),
+                    )
+                    .withColumn("op", F.lit("insert"))
+                )
+            table.merge_batch(seeded, self._next_seed_epoch(table))
+        return table
+
+    def _next_seed_epoch(self, table: BucketedUpsertTable) -> int:
+        used = sum(
+            1
+            for e in table._committed_epochs()
+            if self.SEED_EPOCH_BASE - 999_999 <= e <= self.SEED_EPOCH_BASE
+        )
+        return self.SEED_EPOCH_BASE - used
+
+    def remove_subscription(self, name: str, drop_table: bool = False) -> None:
+        """Unsubscribe on a RUNNING sink (websocket.go:633-662; the
+        integration suite asserts delivery stops,
+        tests/integration_test.go:648-734): future epochs skip this
+        subscription, its table stops changing. The table stays
+        readable (frozen) unless ``drop_table`` — the reference keeps
+        client-side state after unsubscribe too."""
+        import shutil
+
+        with self._lifecycle_lock:
+            keep = [s for s in self.subs if s.name != name]
+            if len(keep) == len(self.subs):
+                raise KeyError(f"no live subscription {name!r}")
+            self.subs = keep
+            table = self.tables.pop(name)
+            if drop_table:
+                shutil.rmtree(table.root, ignore_errors=True)
+            else:
+                self._frozen[name] = table
+
+    def update_predicate(self, name: str, predicate: str | None) -> int:
+        """Replace a LIVE subscription's doc-level predicate with an
+        epoch-stamped cutover (no reseed, no pipeline restart): epochs
+        before the returned cutover epoch keep the old predicate,
+        epochs at or after it use the new one — and a crash-replayed
+        earlier epoch still merges under its own era\'s predicate."""
+        with self._lifecycle_lock:
+            for s in self.subs:
+                if s.name == name:
+                    cutover = self._last_epoch + 1
+                    s.predicate_updates.append((cutover, predicate))
+                    return cutover
+        raise KeyError(f"no live subscription {name!r}")
+
     def foreach_batch(self):
         return lambda df, epoch: self.merge_batch(df, epoch)
 
     def read(self, name: str) -> DataFrame:
-        return self.tables[name].read()
+        t = self.tables.get(name) or self._frozen.get(name)
+        if t is None:
+            raise KeyError(f"unknown subscription {name!r}")
+        return t.read()
 
     def stats(self) -> dict[str, dict]:
         """Per-subscription sync-stats fan-in (A3 — the reference's
@@ -404,6 +556,11 @@ class EngineManager:
                 max_files_per_trigger=max_files_per_trigger,
                 await_termination=False,
                 trigger=trigger,
+                # a re-run on a live manager (bounded-trigger restart)
+                # keeps each DB's sink, so runtime lifecycle state
+                # (added/removed subscriptions, predicate cutovers)
+                # survives across run() calls
+                sink=self.sinks.get(db),
             )
             queries[db] = q
             self.sinks[db] = sink
@@ -418,6 +575,47 @@ class EngineManager:
     def stats(self) -> dict[str, dict]:
         """db → per-subscription lineage fan-in (A3, manager.go:213-219)."""
         return {db: sink.stats() for db, sink in self.sinks.items()}
+
+    # -- runtime subscription lifecycle (websocket.go:445-531,633-662) --
+    def add_subscription(
+        self, sub: Subscription, seed_df: DataFrame | None = None
+    ) -> BucketedUpsertTable:
+        """Subscribe on a RUNNING manager: validates against the config
+        (IsValidSubscription, manager.go:222-241), then registers on the
+        database's live sink with an optional snapshot seed (see
+        ``FanoutSink.add_subscription``). The database's pipeline must
+        already be running — the manager routes per configured DB, like
+        the reference's per-database sync managers (manager.go:144-170)."""
+        if not self.config.is_valid_subscription(sub.database, sub.collection):
+            raise ValueError(
+                f"invalid subscription {sub.name!r}: "
+                f"{sub.database}/{sub.collection} is not configured"
+            )
+        if sub.database not in self.sinks:
+            raise KeyError(
+                f"database {sub.database!r} has no running pipeline; "
+                "runtime add requires the DB's stream to be live"
+            )
+        table = self.sinks[sub.database].add_subscription(sub, seed_df)
+        self.by_db.setdefault(sub.database, []).append(sub)
+        return table
+
+    def remove_subscription(
+        self, database: str, name: str, drop_table: bool = False
+    ) -> None:
+        """Unsubscribe on a RUNNING manager: the subscription's table
+        stops changing while every other subscription continues
+        (integration_test.go:648-734's unsubscribe-stops-delivery)."""
+        self.sinks[database].remove_subscription(name, drop_table=drop_table)
+        self.by_db[database] = [
+            s for s in self.by_db.get(database, []) if s.name != name
+        ]
+
+    def update_predicate(
+        self, database: str, name: str, predicate: str | None
+    ) -> int:
+        """Epoch-stamped predicate cutover on a live subscription."""
+        return self.sinks[database].update_predicate(name, predicate)
 
 
 def run_fanout_pipeline(
@@ -434,6 +632,7 @@ def run_fanout_pipeline(
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
     trigger: dict | None = None,
+    sink: FanoutSink | None = None,
 ):
     """One readStream → N per-subscription exactly-once tables.
 
@@ -452,15 +651,19 @@ def run_fanout_pipeline(
                     f"invalid subscription {s.name!r}: "
                     f"{s.database}/{s.collection} is not configured"
                 )
-    sink = FanoutSink(
-        spark,
-        root,
-        subs,
-        n_buckets=n_buckets,
-        partial_updates=partial_updates,
-        merge_on_read=merge_on_read,
-        quarantine=quarantine,
-    )
+    if sink is None:
+        # pass an existing sink to RESUME a pipeline (bounded-trigger
+        # restart) without losing runtime lifecycle state — live adds,
+        # frozen tables of removed subscriptions, predicate cutovers
+        sink = FanoutSink(
+            spark,
+            root,
+            subs,
+            n_buckets=n_buckets,
+            partial_updates=partial_updates,
+            merge_on_read=merge_on_read,
+            quarantine=quarantine,
+        )
     stream = read_change_stream(spark, feed_dir, max_files_per_trigger)
     query = (
         stream.writeStream.foreachBatch(sink.foreach_batch())

@@ -192,6 +192,24 @@ class BucketedUpsertTable:
             return self.spark.createDataFrame([], self._state_schema()).select(*self.payload)
         return raw.filter(F.col("op") != "delete").select(*self.payload)
 
+    def read_with_lineage(self, include_tombstones: bool = True) -> DataFrame:
+        """Materialized state INCLUDING the order/op lineage columns
+        (``state_cols`` = payload + seq + op). The seed source for
+        runtime resubscribe (FanoutSink.add_subscription): rows keep
+        their TRUE seqs, so LWW resolves them exactly against both a
+        resumed table's stale rows and future live events — a
+        negative-seq snapshot seed cannot. Tombstones are included by
+        default (a key deleted during an unsubscribe gap must delete in
+        the resumed table too); note compaction past a tombstone's
+        horizon removes it, downgrading a later gap-fill for that key."""
+        raw = self._read_raw()
+        if raw is None:
+            return self.spark.createDataFrame([], self._state_schema())
+        out = raw.select(*self.state_cols)
+        if not include_tombstones:
+            out = out.filter(F.col("op") != "delete")
+        return out
+
     def changes(self, since_epoch: int, until_epoch: int | None = None) -> DataFrame:
         """Incremental change read (Iceberg incremental-scan analogue):
         the per-key net changes committed in epochs (since, until] of a

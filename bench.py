@@ -30,7 +30,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from aktuell_spark.queries import QUERIES
+from aktuell_spark.queries import EXTRA_QUERIES, QUERIES
 from aktuell_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,9 +138,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # graded registry = the headline suite (the driver's 50-entry
+    # correctness window); rotated-out standalone queries keep their
+    # per-operator timings in a separate dict so round-over-round
+    # per-query comparisons survive the r5 registry reshuffle without
+    # double-counting the merged families in the headline total
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():
         timings[name] = time_query(fn, spark, SF_DIR)
+    extra_timings: dict[str, float] = {}
+    for name, (fn, _sql) in EXTRA_QUERIES.items():
+        extra_timings[name] = time_query(fn, spark, SF_DIR)
 
     stream = bench_streaming_cdc(spark, sf)
     timings["stream_cdc_materialize"] = stream["cdc_wall_sec"]
@@ -152,6 +160,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra_timings,
+        "extra_total_sec": round(sum(extra_timings.values()), 3),
         "sf": sf,
         "cpus": CPUS,
         **stream,

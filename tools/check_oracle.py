@@ -16,7 +16,7 @@ sys.path.insert(0, ".")
 
 import duckdb
 
-from aktuell_spark.queries import QUERIES, TABLES
+from aktuell_spark.queries import EXTRA_QUERIES, QUERIES, TABLES
 from aktuell_spark.session import get_spark
 
 
@@ -29,8 +29,11 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(QUERIES)
+    args = [a for a in sys.argv[1:] if a != "--extra"]
+    use_extra = "--extra" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    registry = {**QUERIES, **EXTRA_QUERIES}
+    names = args[1:] or list(EXTRA_QUERIES if use_extra else QUERIES)
     spark = get_spark(cores=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -38,7 +41,7 @@ def main():
 
     failed = []
     for name in names:
-        fn, sql = QUERIES[name]
+        fn, sql = registry[name]
         if sql is None:
             df = fn(spark, sf_dir)
             print(f"{name:24s} rows-only: {df.count()} rows")
