@@ -8,9 +8,13 @@ Two REAL codecs are implemented stdlib-only: PNG header decode
 (signature + IHDR parse with CRC verification, ``decode_png_header``)
 and WAV/RIFF header decode (fmt/data chunk walk, ``decode_wav_header``)
 — the synthesized WAV fixtures round-trip through Python's own ``wave``
-module as independent proof. Deep pixel/sample decode (the part that
-needs PIL/librosa/ffmpeg, absent in this container) remains the
-declared ``decode_stub`` fake.
+module as independent proof. One level deeper is real too (round 5):
+``decode_png_scanline`` inflates the first IDAT scanline (stdlib zlib,
+filter type 0) and ``decode_wav_pcm`` reads the first PCM samples —
+exact-integer pixel/sample stats, oracle-verified against the fixtures'
+closed forms. Full-image decode across all PNG filter types / general
+codecs (the part that needs PIL/librosa/ffmpeg, absent in this
+container) remains the declared ``decode_stub`` fake.
 
 Scale: ``mapInPandas`` streams Arrow batches; binary payloads never
 materialize on the driver. Partition sizing for blob tables should be
@@ -264,3 +268,108 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+# -- deep decode, one level below the headers (round 5) ----------------
+# Inflate the first PNG scanline (stdlib zlib; filter type 0 — the type
+# the fixture encoder emits) and read the first PCM samples of a WAV —
+# bounded work per blob regardless of payload size. Filter types 1-4
+# (Sub/Up/Average/Paeth unfiltering) remain the declared stub boundary;
+# a foreign PNG using them returns valid_deep=false rather than garbage.
+
+PCM_STAT_SAMPLES = 64
+
+
+def decode_png_scanline(payload: bytes | None) -> dict | None:
+    """Decompress the first IDAT scanline and return EXACT-integer pixel
+    stats (sum + count — no float leaves the decoder). Returns None for
+    invalid headers, truncated zlib streams, or filter types != 0."""
+    hdr = decode_png_header(payload)
+    if hdr is None or hdr["bit_depth"] != 8:
+        return None
+    pos, idat = 8, b""
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        if typ == b"IDAT":
+            idat += bytes(payload[pos + 8:pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if not idat:
+        return None
+    row_len = hdr["width"] * hdr["channels"]
+    try:
+        # bounded inflate: only the filter byte + one scanline leaves
+        # zlib, however large the image is
+        raw = zlib.decompressobj().decompress(idat, 1 + row_len)
+    except zlib.error:
+        return None
+    if len(raw) < 1 + row_len or raw[0] != 0:
+        return None
+    row = raw[1:1 + row_len]
+    return {"px_sum": sum(row), "n_px": len(row)}
+
+
+def decode_wav_pcm(payload: bytes | None,
+                   max_samples: int = PCM_STAT_SAMPLES) -> dict | None:
+    """Read the first ``max_samples`` 16-bit PCM values from the data
+    chunk: peak (max |v|) and sum of squares, both exact integers."""
+    hdr = decode_wav_header(payload)
+    if hdr is None or hdr.get("n_samples") is None or hdr["bit_depth"] != 16:
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[pos:pos + 8])
+        if cid == b"data":
+            n = min(max_samples, clen // 2)
+            if n == 0:
+                return {"pcm_peak": 0, "pcm_sumsq": 0, "n_pcm": 0}
+            vals = struct.unpack(f"<{n}h", payload[pos + 8:pos + 8 + 2 * n])
+            return {
+                "pcm_peak": max(abs(v) for v in vals),
+                "pcm_sumsq": sum(v * v for v in vals),
+                "n_pcm": n,
+            }
+        pos += 8 + clen + (clen % 2)
+    return None
+
+
+MEDIA_CONTENT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("valid_deep", T.BooleanType(), False),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("n_px", T.IntegerType(), True),
+        T.StructField("pcm_peak", T.IntegerType(), True),
+        T.StructField("pcm_sumsq", T.LongType(), True),
+        T.StructField("n_pcm", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_media_content(df: DataFrame) -> DataFrame:
+    """Arrow-batched DEEP decode over binary payloads: PNG scanline
+    inflate + WAV PCM stats inside the same mapInPandas shape as the
+    header path. All emitted stats are exact integers, so the closed-
+    form fixture oracle (see queries.q_media_content) verifies the full
+    synthesize → encode → inflate/unpack round trip bit-for-bit."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, p in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                stats = (decode_png_scanline(p) if mime == "image/png"
+                         else decode_wav_pcm(p) if mime == "audio/wav" else None)
+                rows.append({
+                    "media_id": mid, "mime": mime,
+                    "valid_deep": stats is not None,
+                    "px_sum": (stats or {}).get("px_sum"),
+                    "n_px": (stats or {}).get("n_px"),
+                    "pcm_peak": (stats or {}).get("pcm_peak"),
+                    "pcm_sumsq": (stats or {}).get("pcm_sumsq"),
+                    "n_pcm": (stats or {}).get("n_pcm"),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_CONTENT_SCHEMA.fields])
+
+    return df.mapInPandas(fn, schema=MEDIA_CONTENT_SCHEMA)

@@ -2913,3 +2913,60 @@ EXTRA_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     k: v for k, v in QUERIES.items() if k not in (*_HEAD, *_TAIL)
 }
 QUERIES = {name: QUERIES[name] for name in (*_HEAD, *_TAIL)}
+
+
+def q_media_content(spark, sf_dir):
+    """DEEP media decode (beyond headers): inflate the first PNG
+    scanline + read the first WAV PCM samples, emitting exact-integer
+    stats. The fixture blobs are closed-form in media_id, so the DuckDB
+    oracle recomputes the expected pixel/sample stats from arithmetic —
+    a mismatch anywhere in synthesize → zlib/PCM encode → Arrow-batched
+    decode turns the row red. Lives in EXTRA_QUERIES (the graded window
+    is full); verified by tools/check_oracle.py --extra and pytest."""
+    from aktuell_spark.functions.multimodal import (
+        extract_media_content,
+        synthesize_real_media,
+    )
+    from aktuell_spark.session import _ship_package
+
+    _ship_package(spark)
+    media = synthesize_real_media(spark, n=MEDIA_META_N, seed=42)
+    return extract_media_content(media)
+
+
+def _media_content_sql() -> str:
+    from aktuell_spark.functions.multimodal import PCM_STAT_SAMPLES
+
+    # mirrors synthesize_real_media + png_bytes/wav_bytes closed forms:
+    # PNG row 0 byte x = (x*31 + seed+i) % 256 over 3*width bytes;
+    # WAV sample j = ((j*997 + seed+i) % 65536) - 32768, seed = 42
+    return f"""
+WITH m AS (SELECT unnest(range({MEDIA_META_N})) AS i),
+png AS (
+  SELECT i, CAST(sum((x * 31 + 42 + i) % 256) AS BIGINT) AS px_sum,
+         CAST(count(*) AS INTEGER) AS n_px
+  FROM (SELECT i, unnest(range(3 * (4 + i % 13))) AS x
+        FROM m WHERE i % 2 = 0 AND i % 8 <> 7)
+  GROUP BY i
+),
+wav AS (
+  SELECT i, CAST(max(abs(v)) AS INTEGER) AS pcm_peak,
+         CAST(sum(v * v) AS BIGINT) AS pcm_sumsq,
+         CAST(count(*) AS INTEGER) AS n_pcm
+  FROM (
+    SELECT i, ((j * 997 + 42 + i) % 65536) - 32768 AS v
+    FROM (SELECT i, unnest(range(least({PCM_STAT_SAMPLES},
+                   (50 + i % 40) * (1 + i % 2)))) AS j
+          FROM m WHERE i % 2 = 1 AND i % 8 <> 7)
+  )
+  GROUP BY i
+)
+SELECT m.i AS media_id,
+  CASE WHEN m.i % 2 = 0 OR m.i % 8 = 7 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+  (m.i % 8 <> 7) AS valid_deep,
+  png.px_sum, png.n_px, wav.pcm_peak, wav.pcm_sumsq, wav.n_pcm
+FROM m LEFT JOIN png ON m.i = png.i LEFT JOIN wav ON m.i = wav.i
+"""
+
+
+EXTRA_QUERIES["media_content"] = (q_media_content, _media_content_sql())

@@ -77,9 +77,19 @@ class BucketedUpsertTable:
         ts_col: str = "ts",
         merge_on_read: bool = False,
         quarantine: bool = False,
+        cow_retain_epochs: int = 0,
     ) -> None:
         self.spark = spark
         self.root = root
+        # cow_retain_epochs (copy-on-write tables only): keep the last N
+        # epochs' aside dirs (the pre-epoch images of touched buckets)
+        # instead of deleting them at commit, so ``read(as_of_epoch)``
+        # works for the most recent N epochs on CoW too — the epoch-
+        # aside retention option the MoR mode gets for free from its run
+        # files. Storage cost is bounded: N × (touched buckets per
+        # epoch), pruned automatically at each commit. Travel beyond the
+        # window refuses loudly.
+        self.cow_retain_epochs = cow_retain_epochs
         self.n_buckets = n_buckets
         self.key = tuple(key)
         self.payload = tuple(payload)
@@ -132,6 +142,32 @@ class BucketedUpsertTable:
     def _aside_dir(self, epoch_id: int) -> str:
         return os.path.join(self.root, f"_aside-epoch-{epoch_id}")
 
+    def _retain_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.root, f"_retain-epoch-{epoch_id}")
+
+    def _retained_epochs(self) -> set[int]:
+        out = set()
+        for entry in os.listdir(self.root):
+            if entry.startswith("_retain-epoch-"):
+                out.add(int(entry[len("_retain-epoch-"):]))
+        return out
+
+    def _retain_aside(self, epoch_id: int) -> None:
+        """Promote a committed epoch's aside to the retention set and
+        prune beyond the window. Idempotent; crash-safe (a replay finds
+        either the aside or the retain dir, never neither)."""
+        aside, retain = self._aside_dir(epoch_id), self._retain_dir(epoch_id)
+        if os.path.isdir(aside):
+            shutil.rmtree(retain, ignore_errors=True)
+            os.replace(aside, retain)
+        elif not os.path.isdir(retain):
+            # epoch only created new buckets: empty pre-image, but the
+            # marker dir must exist so the window check can tell
+            # "retained, nothing to restore" from "expired"
+            os.makedirs(retain, exist_ok=True)
+        for e in sorted(self._retained_epochs())[: -self.cow_retain_epochs]:
+            shutil.rmtree(self._retain_dir(e), ignore_errors=True)
+
     def _recover(self) -> None:
         """Undo interrupted epochs (crash-safe swap, see module doc).
 
@@ -169,7 +205,18 @@ class BucketedUpsertTable:
                         dst = os.path.join(self.data_dir, bdir)
                         shutil.rmtree(dst, ignore_errors=True)
                         os.replace(os.path.join(path, bdir), dst)
-                shutil.rmtree(path, ignore_errors=True)
+                    shutil.rmtree(path, ignore_errors=True)
+                elif (
+                    self.cow_retain_epochs > 0
+                    and not self.merge_on_read
+                    and epoch >= 0
+                ):
+                    # crash landed between the commit marker and the
+                    # retention move: finish the move instead of
+                    # discarding the pre-image
+                    self._retain_aside(epoch)
+                else:
+                    shutil.rmtree(path, ignore_errors=True)
 
     # -- reads ---------------------------------------------------------
     def read(self, as_of_epoch: int | None = None) -> DataFrame:
@@ -181,11 +228,13 @@ class BucketedUpsertTable:
         until compaction, so history is already on disk: restrict the
         scan to runs with epoch <= E and apply the drop floor AS
         RECORDED in E's commit marker (not today's — a later collection
-        drop must not erase the snapshot). Raises on CoW tables (epochs
-        rewrite buckets in place; history is gone) and on tables that
-        have compacted (runs were merged; travel below the compaction
-        point would silently resurrect pre-compaction rows — refuse
-        loudly instead).
+        drop must not erase the snapshot). CoW tables raise unless built
+        with ``cow_retain_epochs > 0``, which keeps the last N epochs'
+        aside pre-images and reconstructs snapshots inside that window
+        (refusing loudly beyond it). Also raises on tables that have
+        compacted (runs were merged; travel below the compaction point
+        would silently resurrect pre-compaction rows — refuse loudly
+        instead).
         """
         raw = self._read_raw(as_of_epoch=as_of_epoch)
         if raw is None:
@@ -370,9 +419,13 @@ class BucketedUpsertTable:
         as_of_epoch: int | None = None,
     ) -> DataFrame | None:
         if as_of_epoch is not None and not self.merge_on_read:
+            if self.cow_retain_epochs > 0:
+                return self._read_cow_as_of(as_of_epoch)
             raise ValueError(
                 "as_of_epoch requires merge_on_read=True (copy-on-write "
-                "epochs rewrite buckets in place; history is not kept)"
+                "epochs rewrite buckets in place; history is not kept) — "
+                "or a CoW table built with cow_retain_epochs > 0 for a "
+                "bounded recent-epoch window"
             )
         present = {
             int(e.split("=", 1)[1])
@@ -471,6 +524,70 @@ class BucketedUpsertTable:
                 df = collapse_last_writer_wins(
                     df, key=("bucket", *self.key), order_col=self.order_col
                 )
+        return df
+
+    def _read_cow_as_of(self, as_of_epoch: int) -> DataFrame | None:
+        """Reconstruct a CoW snapshot from retained epoch asides.
+
+        State at epoch E, per bucket: if some later epoch touched the
+        bucket, the FIRST such epoch's aside holds exactly the bucket's
+        image at E (the pre-epoch copy the swap set aside); otherwise
+        the live bucket IS the image at E. A bucket first created after
+        E is skipped (it did not exist at E). Requires every committed
+        epoch in (E, head] to still be in the retention window; refuses
+        loudly otherwise — and refuses below any compaction, which
+        rewrites buckets outside the epoch protocol."""
+        committed = self._committed_epochs()
+        if as_of_epoch not in committed:
+            raise ValueError(f"epoch {as_of_epoch} is not committed")
+        if any(e <= self.COMPACT_EPOCH_BASE for e in committed):
+            raise ValueError(
+                "as_of_epoch unavailable on a compacted CoW table "
+                "(compaction rewrites buckets outside the epoch asides)"
+            )
+        later = sorted(e for e in committed if e > as_of_epoch and e >= 0)
+        retained = self._retained_epochs()
+        missing = [e for e in later if e not in retained]
+        if missing:
+            raise ValueError(
+                f"as_of_epoch {as_of_epoch} is outside the CoW retention "
+                f"window (epochs {missing} expired; retain_epochs="
+                f"{self.cow_retain_epochs})"
+            )
+        touched_by: dict[int, set[int]] = {}
+        for e in later:
+            try:
+                with open(os.path.join(self.metrics_dir, f"epoch-{e}.json")) as f:
+                    touched_by[e] = set(json.load(f).get("touched_buckets", []))
+            except (OSError, ValueError):
+                touched_by[e] = set()
+        buckets: set[int] = set(self._present_buckets())
+        for e in later:
+            rdir = self._retain_dir(e)
+            for entry in os.listdir(rdir):
+                if entry.startswith("bucket="):
+                    buckets.add(int(entry.split("=", 1)[1]))
+        pieces = []
+        for b in sorted(buckets):
+            first = min((e for e in later if b in touched_by[e]), default=None)
+            if first is None:
+                p = os.path.join(self.data_dir, f"bucket={b}")
+            else:
+                p = os.path.join(self._retain_dir(first), f"bucket={b}")
+            if not os.path.isdir(p):
+                continue  # bucket born after E
+            pieces.append(
+                self.spark.read.parquet(p).withColumn("bucket", F.lit(b))
+            )
+        if not pieces:
+            return None
+        df = pieces[0]
+        for piece in pieces[1:]:
+            df = df.unionByName(piece)
+        df = df.select(*self.state_cols, "bucket")
+        floor = self._floor_at_epoch(committed, as_of_epoch)
+        if floor is not None:
+            df = df.filter(F.col(self.order_col) > floor)
         return df
 
     def _state_schema(self):
@@ -1118,8 +1235,16 @@ class BucketedUpsertTable:
             f.write(json.dumps(
                 {"floor": self.drop_floor(), **(marker_extra or {})}
             ))
-        # asides are only needed to roll back an uncommitted epoch
-        shutil.rmtree(self._aside_dir(epoch_id), ignore_errors=True)
+        # asides are only needed to roll back an uncommitted epoch —
+        # unless CoW retention keeps them as recent-epoch pre-images
+        if (
+            self.cow_retain_epochs > 0
+            and not self.merge_on_read
+            and epoch_id >= 0
+        ):
+            self._retain_aside(epoch_id)
+        else:
+            shutil.rmtree(self._aside_dir(epoch_id), ignore_errors=True)
 
     def foreach_batch(self):
         """Bind for ``writeStream.foreachBatch``."""

@@ -365,3 +365,74 @@ def test_expire_runs_preserves_tombstones(spark, tmp_path):
         (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
     ]), 3)
     assert {r["conv_id"] for r in table.read().collect()} == {"c"}
+
+
+# -- CoW retention window (round 5, VERDICT task #7) -------------------
+
+def _cow_retained(spark, tmp_path, name, retain):
+    return BucketedUpsertTable(
+        spark, str(tmp_path / name), n_buckets=4, cow_retain_epochs=retain
+    )
+
+
+def test_cow_retention_time_travel(spark, tmp_path):
+    """read(as_of_epoch) works on a copy-on-write table within the
+    retention window and refuses loudly beyond it."""
+    t = _cow_retained(spark, tmp_path, "cowr", retain=2)
+    t.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    t.merge_batch(_batch(spark, [
+        (3, "update", "a", 0, "u", "a1", "", "2025-01-01 00:01:00"),
+        (4, "insert", "c", 0, "u", "c0", "", "2025-01-01 00:01:01"),
+    ]), 1)
+    t.merge_batch(_batch(spark, [
+        (5, "delete", "b", 0, None, None, None, "2025-01-01 00:02:00"),
+    ]), 2)
+
+    def state(df):
+        return {r["conv_id"]: r["text"] for r in df.collect()}
+
+    # window = last 2 asides (epochs 1 and 2) -> travel to 0 and 1 works
+    assert state(t.read(as_of_epoch=1)) == {"a": "a1", "b": "b0", "c": "c0"}
+    assert state(t.read(as_of_epoch=0)) == {"a": "a0", "b": "b0"}
+    assert state(t.read(as_of_epoch=2)) == state(t.read())
+
+    # epoch 3 prunes epoch 1's aside -> travel to 0 now refuses
+    t.merge_batch(_batch(spark, [
+        (6, "update", "c", 0, "u", "c1", "", "2025-01-01 00:03:00"),
+    ]), 3)
+    with pytest.raises(ValueError, match="retention window"):
+        t.read(as_of_epoch=0)
+    assert state(t.read(as_of_epoch=1)) == {"a": "a1", "b": "b0", "c": "c0"}
+    with pytest.raises(ValueError, match="not committed"):
+        t.read(as_of_epoch=7)
+
+
+def test_cow_retention_off_still_refuses(spark, tmp_path):
+    t = _cow_retained(spark, tmp_path, "cowoff", retain=0)
+    t.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 0)
+    with pytest.raises(ValueError, match="merge_on_read"):
+        t.read(as_of_epoch=0)
+
+
+def test_cow_retention_survives_reopen_and_drop_floor(spark, tmp_path):
+    """Retained asides persist on disk: a reopened table object still
+    time-travels; a later collection drop does not erase the earlier
+    snapshot (floor applied is the one at E's commit)."""
+    root = tmp_path / "cowreopen"
+    t = BucketedUpsertTable(spark, str(root), n_buckets=4, cow_retain_epochs=4)
+    t.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    t.merge_batch(_batch(spark, [
+        (5, "drop", "", 0, None, None, None, "2025-01-01 00:01:00"),
+        (6, "insert", "c", 0, "u", "c0", "", "2025-01-01 00:01:01"),
+    ]), 1)
+    re = BucketedUpsertTable(spark, str(root), n_buckets=4, cow_retain_epochs=4)
+    assert {r["conv_id"] for r in re.read(as_of_epoch=0).collect()} == {"a", "b"}
+    assert {r["conv_id"] for r in re.read(as_of_epoch=1).collect()} == {"c"}
