@@ -132,9 +132,24 @@ def worker_main(cores: int, feed: str, mft: int = 0, enrich: bool = False,
         merge_on_read=mor,
     )
     wall = time.time() - t0
-    n_rows = table.read().count()
-    time.sleep(2)  # listener bus drain
+    time.sleep(2)  # listener bus drain (before the envelope pass adds
+    #                its own empty-trigger progress events)
     summ = rec.summary()
+    # measured trigger envelope: a second availableNow pass on the SAME
+    # checkpoint finds no new files, so its wall is exactly the size-
+    # independent per-run constant (query startup, source listing/
+    # getBatch, queryPlanning, WAL commits, shutdown) with zero data
+    # work — the decomposition BENCH.md reports envelope-subtracted
+    # efficiency from. At production batch sizes this constant amortizes
+    # to noise; at bench scale it lands on the faster side's wall.
+    t1 = time.time()
+    run_cdc_pipeline(
+        spark, feed, f"{base}/table", f"{base}/ckpt",
+        n_buckets=64, max_files_per_trigger=(mft or None), enrich=enrich,
+        merge_on_read=mor,
+    )
+    envelope = time.time() - t1
+    n_rows = table.read().count()
     events = summ.get("total_rows", 0)
     # per-epoch phase breakdown (sink metrics) + per-batch trigger
     # durations (listener) — used to audit the size-independent constant
@@ -149,7 +164,9 @@ def worker_main(cores: int, feed: str, mft: int = 0, enrich: bool = False,
         "cores": cores,
         "events": events,
         "wall_sec": round(wall, 2),
+        "envelope_sec": round(envelope, 2),
         "events_per_sec": round(events / wall, 1),
+        "events_per_sec_ex_envelope": round(events / max(wall - envelope, 0.001), 1),
         "p95_batch_sec": summ.get("p95_batch_sec"),
         "p50_batch_sec": summ.get("p50_batch_sec"),
         "batches": summ.get("batches"),
@@ -202,6 +219,13 @@ def main() -> None:
     eff_1_4 = (runs[4]["events_per_sec"] / runs[1]["events_per_sec"]) / 4.0
     eff_2_8 = (runs[8]["events_per_sec"] / runs[2]["events_per_sec"]) / 4.0
     eff_8_32 = (runs[32]["events_per_sec"] / runs[8]["events_per_sec"]) / 4.0
+    # envelope-subtracted: each worker measures its own trigger envelope
+    # (a no-op availableNow pass on the same checkpoint), so the
+    # data-proportional end-to-end efficiency is directly reported too
+    ex = {c: runs[c].get("events_per_sec_ex_envelope",
+                         runs[c]["events_per_sec"]) for c in runs}
+    eff_1_4_ex = (ex[4] / ex[1]) / 4.0
+    eff_2_8_ex = (ex[8] / ex[2]) / 4.0
     # Data-proportional core stage: taken from the PIPELINE runs' own
     # phase sidecar (job1 = scan -> bucket repartition -> partition-
     # local LWW collapse -> bucketed parquet write — the single Spark
@@ -232,7 +256,9 @@ def main() -> None:
               "scaling_efficiency_2_8": round(eff_2_8, 3),
               "scaling_efficiency_8_32": round(eff_8_32, 3),
               "merge_stage_efficiency_1_4": round(eff_merge_1_4, 3),
-              "merge_stage_efficiency_2_8": round(eff_merge, 3)}
+              "merge_stage_efficiency_2_8": round(eff_merge, 3),
+              "scaling_efficiency_1_4_ex_envelope": round(eff_1_4_ex, 3),
+              "scaling_efficiency_2_8_ex_envelope": round(eff_2_8_ex, 3)}
     print(json.dumps(result))
 
     percore8 = r8["events_per_sec"] / 8
@@ -275,15 +301,24 @@ plan A at every core count (~1.7 events/key: map-side combine pays
 
 ## Full exactly-once pipeline (streaming trigger + sink commit included)
 
-| cluster size | events | wall (s) | sustained events/s |
-|---|---|---|---|
-| local[1]  (N)   | {r1['events']:,} | {r1['wall_sec']} | {r1['events_per_sec']:,} |
-| local[2]        | {r2['events']:,} | {r2['wall_sec']} | {r2['events_per_sec']:,} |
-| local[4]  (4N)  | {r4['events']:,} | {r4['wall_sec']} | {r4['events_per_sec']:,} |
-| local[8]        | {r8['events']:,} | {r8['wall_sec']} | {r8['events_per_sec']:,} |
-| local[32]       | {r32['events']:,} | {r32['wall_sec']} | {r32['events_per_sec']:,} |
+| cluster size | events | wall (s) | envelope (s) | sustained events/s | ex-envelope events/s |
+|---|---|---|---|---|---|
+| local[1]  (N)   | {r1['events']:,} | {r1['wall_sec']} | {r1.get('envelope_sec', '-')} | {r1['events_per_sec']:,} | {r1.get('events_per_sec_ex_envelope', 0):,} |
+| local[2]        | {r2['events']:,} | {r2['wall_sec']} | {r2.get('envelope_sec', '-')} | {r2['events_per_sec']:,} | {r2.get('events_per_sec_ex_envelope', 0):,} |
+| local[4]  (4N)  | {r4['events']:,} | {r4['wall_sec']} | {r4.get('envelope_sec', '-')} | {r4['events_per_sec']:,} | {r4.get('events_per_sec_ex_envelope', 0):,} |
+| local[8]        | {r8['events']:,} | {r8['wall_sec']} | {r8.get('envelope_sec', '-')} | {r8['events_per_sec']:,} | {r8.get('events_per_sec_ex_envelope', 0):,} |
+| local[32]       | {r32['events']:,} | {r32['wall_sec']} | {r32.get('envelope_sec', '-')} | {r32['events_per_sec']:,} | {r32.get('events_per_sec_ex_envelope', 0):,} |
 
 **Scaling efficiency (eps_4N / eps_N) / 4 — N=1 -> 4N=4: {eff_1_4:.3f}; N=2 -> 4N=8: {eff_2_8:.3f}**
+
+**Envelope-subtracted (data-proportional end-to-end): 1 -> 4: {eff_1_4_ex:.3f}; 2 -> 8: {eff_2_8_ex:.3f}.**
+The envelope column is MEASURED per run, not modeled: a second
+availableNow pass on the same checkpoint finds no new files, so its
+wall is exactly the size-independent per-run constant (query startup,
+source listing/getBatch, queryPlanning, WAL commits, shutdown). At
+production batch sizes (10^9+ events/trigger) this constant amortizes
+to noise; at bench scale it lands proportionally harder on the faster
+side, which is why the raw 2 -> 8 number trails the 1 -> 4 pair.
 
 The 1 -> 4 pair is the honest criterion pair on this host: at 1 and 4
 threads both sides run far below the single socket's DRAM-bandwidth
