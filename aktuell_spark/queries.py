@@ -2970,3 +2970,60 @@ FROM m LEFT JOIN png ON m.i = png.i LEFT JOIN wav ON m.i = wav.i
 
 
 EXTRA_QUERIES["media_content"] = (q_media_content, _media_content_sql())
+
+
+def q_stream_curate(spark, sf_dir):
+    """Streaming corpus curation, value-verified cross-engine: the
+    documents table is replayed AS A STREAM (file source, availableNow)
+    through the in-stream scoring + exactly-once fingerprint-keyed
+    dedup sink (streaming/curation.py), and the MATERIALIZED table is
+    compared against a pure-SQL DuckDB oracle — quality floor +
+    Gopher repetition gate + min-doc_id-per-fingerprint keep-first.
+    The oracle covers the whole streaming path: a defect anywhere in
+    trigger slicing, the foreachBatch merge, or the keep-first order
+    trick (order_col = -doc_id) turns the row red. The three
+    stream_cdc_* graded queries stay rows-only by design; this one
+    shows a streaming materialization CAN be oracle-graded when its
+    semantics are SQL-expressible."""
+    import os
+    import tempfile
+
+    from aktuell_spark.streaming.curation import run_curation_stream
+
+    base = tempfile.mkdtemp(prefix="aktuell_stream_curate_")
+    _, table = run_curation_stream(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(base, "table"),
+        os.path.join(base, "ckpt"),
+        min_quality=CURATE_MIN_QUALITY,
+        n_buckets=8,
+        await_termination=True,
+    )
+    return table.read().select(
+        "fingerprint", "doc_id", "lang", "source", "n_tokens",
+        "quality_score",
+    )
+
+
+def _stream_curate_sql() -> str:
+    return f"""
+WITH q AS ({SQL_QUALITY_SCORE}),
+     g AS ({_gopher_repetition_sql()}),
+     kept AS (
+       SELECT substr(md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')), 1, 16)
+                AS fingerprint,
+              d.doc_id, d.lang, d.source,
+              CAST(q.n_tokens AS INTEGER) AS n_tokens, q.quality_score
+       FROM documents d
+       JOIN q ON d.doc_id = q.doc_id
+       JOIN g ON d.doc_id = g.doc_id
+       WHERE q.quality_score >= {CURATE_MIN_QUALITY} AND NOT g.flag_repetitive
+     )
+SELECT fingerprint, doc_id, lang, source, n_tokens, quality_score
+FROM kept
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+"""
+
+
+EXTRA_QUERIES["stream_curate"] = (q_stream_curate, _stream_curate_sql())

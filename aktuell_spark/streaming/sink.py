@@ -259,6 +259,73 @@ class BucketedUpsertTable:
             out = out.filter(F.col("op") != "delete")
         return out
 
+    # -- point reads (bucket-pruned) ----------------------------------
+    def bucket_of(self, key_value) -> int:
+        """The bucket directory this key's rows live in, computed
+        DRIVER-SIDE with zero Spark jobs: a pure-Python XXH64 (seed 42,
+        functions/xxh64.py) reproduces ``pmod(xxhash64(key), n_buckets)``
+        — the exact layout expression at :meth:`_bucket_col`. Parity
+        with the JVM hash is pinned by tests/test_lookup.py."""
+        from aktuell_spark.functions.xxh64 import spark_bucket
+
+        dtype = next(
+            (f.dataType.simpleString() for f in self._state_schema().fields
+             if f.name == self.bucket_key),
+            "string",
+        )
+        return spark_bucket(key_value, self.n_buckets, dtype)
+
+    def lookup(self, key_value, as_of_epoch: int | None = None) -> DataFrame:
+        """Point read: every live row whose ``bucket_key`` equals
+        ``key_value`` (for transcripts: one conversation's turns).
+
+        Scale shape: the scan lists and reads exactly ONE of the
+        ``n_buckets`` directories (O(table/n_buckets) instead of
+        O(table)), and the equality predicate is pushed into the
+        parquet scan so row-group min/max stats skip files within the
+        bucket — after sort-order compaction each bucket file is
+        key-ordered, so a point read touches ~one row group. Both
+        halves are plan-asserted (tests/test_lookup.py: single bucket
+        path + PushedFilters). This is the Iceberg bucket-partition-
+        pruned point query; the reference analogue is the client
+        querying one collection document by key
+        (/root/reference/pkg/client/client.go:169-192).
+        """
+        return self._lookup_buckets(
+            {self.bucket_of(key_value)}, [key_value], as_of_epoch
+        )
+
+    def lookup_many(self, key_values, as_of_epoch: int | None = None) -> DataFrame:
+        """Batched point read: like :meth:`lookup` but prunes to the
+        UNION of the keys' buckets — k keys touch at most min(k,
+        n_buckets) directories. The key-set membership filter stays a
+        literal IN-list (pushed to parquet as ``In``), never a join."""
+        vals = list(dict.fromkeys(key_values))
+        if not vals:
+            return self.read().limit(0)
+        return self._lookup_buckets(
+            {self.bucket_of(v) for v in vals}, vals, as_of_epoch
+        )
+
+    def _lookup_buckets(self, buckets, vals, as_of_epoch) -> DataFrame:
+        if as_of_epoch is not None and not self.merge_on_read:
+            # CoW retention reconstructs from aside dirs; bucket-pruning
+            # that path is not wired — keep correctness, lose pruning
+            raw = self._read_raw(as_of_epoch=as_of_epoch)
+        else:
+            raw = self._read_raw(buckets=sorted(buckets), as_of_epoch=as_of_epoch)
+        if raw is None:
+            return self.read().limit(0)
+        pred = (
+            F.col(self.bucket_key).isin(vals)
+            if len(vals) > 1 else F.col(self.bucket_key) == F.lit(vals[0])
+        )
+        return (
+            raw.filter(pred)
+            .filter(F.col("op") != "delete")
+            .select(*self.payload)
+        )
+
     def changes(self, since_epoch: int, until_epoch: int | None = None) -> DataFrame:
         """Incremental change read (Iceberg incremental-scan analogue):
         the per-key net changes committed in epochs (since, until] of a
