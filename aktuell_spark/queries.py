@@ -3027,3 +3027,121 @@ QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
 
 
 EXTRA_QUERIES["stream_curate"] = (q_stream_curate, _stream_curate_sql())
+
+
+def q_doc_clusters(spark, sf_dir):
+    """Corpus clustering (the topic-bucketing stage of a training-data
+    pipeline): spherical k-means centroids trained on the first
+    IVF_TRAIN_SAMPLE vectors (the sample-bounded 100 TB shape —
+    training state is k×dim on the driver, never the corpus), then ONE
+    narrow Arrow-batched assignment pass over the full corpus and a
+    single map-side-combinable groupBy for per-cluster stats. Reuses
+    the trained-IVF machinery end-to-end (train_ivf_centroids +
+    ivf_assign with the cross-engine-reproducible config), so the
+    DuckDB oracle re-derives the SAME centroids with the unrolled
+    Lloyd-pass SQL and re-aggregates. avg_sim quantizes per-row to 6
+    decimals before the mean and the mean to 3, so float sum-order
+    differences between engines cannot flip the hash."""
+    from aktuell_spark.functions.similarity import (
+        cosine6,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(
+        emb.filter(F.col("vec_id") < IVF_TRAIN_SAMPLE),
+        k=IVF_TRAIN_K, n_iter=IVF_TRAIN_ITER, init="first", quantize=6,
+    )
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cell int, cvec array<double>",
+    )
+    assigned = ivf_assign(emb, cents, nprobe=1).join(
+        F.broadcast(cent_df), "cell"
+    )
+    sims = assigned.withColumn(
+        "sim", cosine6(F.col("embedding").cast("array<double>"), F.col("cvec"))
+    )
+    return sims.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.round(F.avg("sim"), 3).alias("avg_sim"),
+    )
+
+
+def _doc_clusters_sql() -> str:
+    assert IVF_TRAIN_ITER == 2
+    return f"""
+WITH train_sample AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {IVF_TRAIN_SAMPLE}
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM train_sample ORDER BY vec_id LIMIT {IVF_TRAIN_K})
+),{_ivf_lloyd_pass_sql('c0', 'c1')},{_ivf_lloyd_pass_sql('c1', 'c2')},
+assigned AS (
+  SELECT vec_id, cid,
+         round(list_cosine_similarity(embedding::DOUBLE[], cvec), 6) AS sim,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], cvec), 6) DESC,
+                      cid ASC) AS crank
+  FROM embeddings CROSS JOIN c2
+)
+SELECT CAST(cid AS INTEGER) AS cell, count(*) AS n_members,
+       min(vec_id) AS min_vec_id, round(avg(sim), 3) AS avg_sim
+FROM assigned WHERE crank = 1 GROUP BY cid
+"""
+
+
+EXTRA_QUERIES["doc_clusters"] = (q_doc_clusters, _doc_clusters_sql())
+
+
+def q_conversation_export(spark, sf_dir):
+    """Conversation export — the training-example serialization shape:
+    one row per conversation with its FULL ordered event log packed
+    into a single string (the batch form of the streaming engine's O4
+    stable-per-turn-ordering guarantee, and the per-row invariant
+    BASELINE.json pins: per-turn text equality under stable turn
+    ordering). Scale shape: ONE shuffle (groupBy conv) with map-side
+    partial collect_list, then partition-local array_sort + transform —
+    the per-conversation sort never becomes a global sort, so 10^12
+    turns cost O(turns) + one keyed exchange. array_sort on
+    struct(event_id, ...) orders by the unique event_id, so the packed
+    string is deterministic and the DuckDB oracle (string_agg ORDER BY
+    event_id) reproduces it byte-for-byte."""
+    ev = load(spark, sf_dir, "events")
+    packed = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+                lambda x: F.concat_ws(
+                    "@", x["event_type"], x["event_id"].cast("string")
+                ),
+            ),
+            "|",
+        ).alias("event_log"),
+    )
+    return packed.select(
+        F.col("user_id").alias("conv_id"), "n_events", "first_event_id",
+        "last_event_id", "event_log",
+    )
+
+
+SQL_CONVERSATION_EXPORT = """
+SELECT user_id AS conv_id,
+       count(*) AS n_events,
+       min(event_id) AS first_event_id,
+       max(event_id) AS last_event_id,
+       string_agg(event_type || '@' || event_id, '|' ORDER BY event_id)
+         AS event_log
+FROM events GROUP BY user_id
+"""
+
+
+EXTRA_QUERIES["conversation_export"] = (
+    q_conversation_export, SQL_CONVERSATION_EXPORT,
+)

@@ -126,8 +126,11 @@ def test_lookup_scans_single_bucket_with_pushed_filter(spark, tmp_path):
     b = table.bucket_of("conv-7")
     files = df.inputFiles()
     assert files and all(f"bucket={b}/" in f for f in files)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan and "conv-7" in plan
+    from aktuell_spark.plans.explain import has_pushed_filter
+
+    assert has_pushed_filter(df, "conv_id"), (
+        "key equality must reach the parquet scan for row-group skipping"
+    )
 
 
 def test_lookup_many_prunes_to_union_of_buckets(spark, tmp_path):
