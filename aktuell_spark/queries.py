@@ -3145,3 +3145,59 @@ FROM events GROUP BY user_id
 EXTRA_QUERIES["conversation_export"] = (
     q_conversation_export, SQL_CONVERSATION_EXPORT,
 )
+
+
+N_EXPORT_SHARDS = 8
+
+
+def q_export_shards(spark, sf_dir):
+    """Training-shard manifest — the delivery stage: conversations
+    (from conversation_export) assigned to N_EXPORT_SHARDS shards by
+    the engine-portable md5 shard function (operators/sharding.py),
+    then ONE map-side-combinable groupBy for the per-shard manifest a
+    dataloader verifies against. content_hash folds the md5 prefix of
+    each packed event_log into a per-shard sum, so any dropped,
+    duplicated, or reordered-within-conversation event flips it —
+    cross-engine reproducible because both engines agree on md5 bytes
+    and the packed string is deterministic (array_sort on unique
+    event_id). Scale shape: one narrow hash per row + the single keyed
+    exchange conversation_export already pays; the manifest is
+    n_shards rows."""
+    from aktuell_spark.operators.sharding import shard_id
+
+    conv = q_conversation_export(spark, sf_dir)
+    content_h = F.conv(
+        F.substring(F.md5(F.col("event_log")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        conv.withColumn("shard", shard_id(F.col("conv_id"), N_EXPORT_SHARDS))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.length("event_log")).alias("total_chars"),
+            F.sum(content_h).alias("content_hash"),
+        )
+    )
+
+
+SQL_EXPORT_SHARDS = f"""
+WITH conv AS (
+  SELECT user_id AS conv_id,
+         count(*) AS n_events,
+         string_agg(event_type || '@' || event_id, '|' ORDER BY event_id)
+           AS event_log
+  FROM events GROUP BY user_id
+)
+SELECT CAST(('0x' || substr(md5(conv_id::VARCHAR), 1, 8))::UBIGINT
+            % {N_EXPORT_SHARDS} AS INTEGER) AS shard,
+       count(*) AS n_convs,
+       sum(n_events) AS n_events,
+       sum(length(event_log)) AS total_chars,
+       CAST(sum(('0x' || substr(md5(event_log), 1, 8))::UBIGINT) AS BIGINT)
+         AS content_hash
+FROM conv GROUP BY 1
+"""
+
+
+EXTRA_QUERIES["export_shards"] = (q_export_shards, SQL_EXPORT_SHARDS)
