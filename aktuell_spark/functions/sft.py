@@ -1,0 +1,167 @@
+"""SFT example building: transcripts -> templated training text with
+loss-active character spans.
+
+The reference materializes per-conversation ordered turn state for
+clients (client merge useAktuellStream.ts:125-171; per-turn stable
+ordering is the O4 guarantee). The training-side consumer of exactly
+that state is an SFT example builder: render the ordered turns into one
+templated string per conversation and mark which character ranges the
+loss applies to (the "assistant" turns) — the loss mask every
+instruction-tuning pipeline needs.
+
+Spark shape: ONE shuffle (hash by conversation), everything after is
+partition-local window arithmetic over the ordered turns. The second
+window (span numbering after the loss-role filter) reuses the first
+window's partitioning+ordering, so Catalyst plans no extra exchange.
+Offsets are exact integer char arithmetic — byte-identical across
+engines — so the span table is value-verifiable against a pure-SQL
+oracle, unlike a rendered-text-only contract where a masking bug could
+hide.
+
+At 10^12 turns: per-conversation work only; no global sort, no
+driver-side state. Skewed (hot) conversations cost one long task each
+— same profile as the materialization sink, which salts at ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def render_segment(role_col: str, text_col: str):
+    """One turn's rendered segment: ``<|role|>text\\n``. NULL text
+    renders as empty (the turn header still takes space, exactly like
+    a tool-call turn with no content)."""
+    return F.concat(
+        F.lit("<|"), F.col(role_col), F.lit("|>"),
+        F.coalesce(F.col(text_col), F.lit("")), F.lit("\n"),
+    )
+
+
+def sft_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    loss_role: str = "assistant",
+) -> DataFrame:
+    """Loss-active spans of the rendered conversation.
+
+    One row per loss-role turn: ``(conv, span_idx, start_char,
+    end_char, seg_chars, total_chars)`` — ``[start_char, end_char)``
+    indexes into the string ``sft_text`` builds, ``span_idx`` numbers
+    the loss spans within the conversation, ``total_chars`` is the full
+    rendered length. ``order_col`` must be unique per conversation
+    (the engine's stable-ordering invariant guarantees this for
+    materialized turns).
+    """
+    seg = render_segment(role_col, text_col)
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    w_all = Window.partitionBy(conv_col)
+    seg_chars = F.length(seg)
+    return (
+        df.select(
+            F.col(conv_col),
+            F.col(order_col),
+            F.col(role_col),
+            seg_chars.alias("seg_chars"),
+        )
+        .withColumn(
+            "start_char",
+            (F.sum("seg_chars").over(w) - F.col("seg_chars")).cast("long"),
+        )
+        .withColumn("total_chars", F.sum("seg_chars").over(w_all).cast("long"))
+        .filter(F.col(role_col) == loss_role)
+        .select(
+            F.col(conv_col),
+            F.row_number().over(w).cast("long").alias("span_idx"),
+            F.col("start_char"),
+            (F.col("start_char") + F.col("seg_chars")).cast("long").alias("end_char"),
+            F.col("seg_chars").cast("long").alias("seg_chars"),
+            F.col("total_chars"),
+        )
+    )
+
+
+def sft_text(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """The rendered training string per conversation — the text the
+    spans index into. Map-side partial ``collect_list`` then a
+    partition-local ``array_sort`` on the unique order key (same shape
+    as conversation_export; never a global sort)."""
+    seg = render_segment(role_col, text_col)
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), seg.alias("s")))
+    )
+    return df.groupBy(F.col(conv_col)).agg(
+        F.array_join(F.transform(packed, lambda x: x["s"]), "").alias("sft_text"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    )
+
+
+def packed_sft_spans(
+    df: DataFrame,
+    target_chars: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    loss_role: str = "assistant",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Loss spans in PACKED-STREAM coordinates — the join of the SFT
+    mask with chunked sequence packing (functions/packing.py
+    semantics): conversations are sharded by key, concatenated in
+    conversation order within each shard, and cut into
+    ``target_chars`` windows; every loss span lands at
+    ``[abs_start, abs_end)`` in its shard's concat stream with
+    ``pack_id = abs_start // target_chars``. This is exactly what a
+    dataloader needs to reconstruct the loss mask of a packed batch.
+
+    Scale shape: conversation-keyed window (spans) + one
+    conversation-keyed agg (rendered lengths, same key — Catalyst
+    reuses the partitioning) + one shard-keyed window (conversation
+    start offsets; n_shards bounds nothing by corpus size) + one
+    equi-join back on the conversation key. No global sort; pack
+    boundaries never cross shards.
+    """
+    if target_chars <= 0:
+        raise ValueError(f"target_chars must be positive, got {target_chars}")
+    spans = sft_spans(df, conv_col, order_col, role_col, text_col, loss_role)
+    conv_len = (
+        df.select(
+            F.col(conv_col), render_segment(role_col, text_col).alias("_seg")
+        )
+        .groupBy(conv_col)
+        .agg(F.sum(F.length("_seg")).cast("long").alias("conv_chars"))
+        .withColumn("shard", (F.col(conv_col) % n_shards).cast("long"))
+    )
+    w_shard = (
+        Window.partitionBy("shard")
+        .orderBy(conv_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    starts = conv_len.withColumn(
+        "conv_start",
+        (F.sum("conv_chars").over(w_shard) - F.col("conv_chars")).cast("long"),
+    )
+    return (
+        spans.join(starts, conv_col)
+        .select(
+            F.col(conv_col),
+            "span_idx",
+            "shard",
+            F.floor((F.col("conv_start") + F.col("start_char")) / target_chars)
+            .cast("long")
+            .alias("pack_id"),
+            (F.col("conv_start") + F.col("start_char")).alias("abs_start"),
+            (F.col("conv_start") + F.col("end_char")).alias("abs_end"),
+        )
+    )

@@ -3201,3 +3201,255 @@ FROM conv GROUP BY 1
 
 
 EXTRA_QUERIES["export_shards"] = (q_export_shards, SQL_EXPORT_SHARDS)
+
+
+def q_sft_spans(spark, sf_dir):
+    """SFT loss-mask spans over the transcript table: each conversation
+    rendered as `<|role|>text\\n` turns in stable order, emitting the
+    [start, end) character range of every loss-active ("click") turn.
+    One keyed shuffle; window arithmetic is partition-local; the span
+    table is exact integers so the mask itself is value-verified, not
+    just the rendered text (functions/sft.py)."""
+    from aktuell_spark.functions.sft import sft_spans
+
+    ev = load(spark, sf_dir, "events")
+    return sft_spans(
+        ev, conv_col="user_id", order_col="event_id",
+        role_col="event_type", text_col="props", loss_role="click",
+    ).withColumnRenamed("user_id", "conv_id")
+
+
+SQL_SFT_SPANS = """
+WITH seg AS (
+  SELECT user_id AS conv_id, event_id, event_type,
+         length('<|' || event_type || '|>' || coalesce(props, '')
+                || chr(10)) AS seg_chars
+  FROM events
+), off AS (
+  SELECT conv_id, event_id, event_type, seg_chars,
+         sum(seg_chars) OVER (PARTITION BY conv_id ORDER BY event_id)
+           - seg_chars AS start_char,
+         sum(seg_chars) OVER (PARTITION BY conv_id) AS total_chars
+  FROM seg
+)
+SELECT conv_id,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY event_id)
+            AS BIGINT) AS span_idx,
+       CAST(start_char AS BIGINT) AS start_char,
+       CAST(start_char + seg_chars AS BIGINT) AS end_char,
+       CAST(seg_chars AS BIGINT) AS seg_chars,
+       CAST(total_chars AS BIGINT) AS total_chars
+FROM off WHERE event_type = 'click'
+"""
+
+
+EXTRA_QUERIES["sft_spans"] = (q_sft_spans, SQL_SFT_SPANS)
+
+
+# 90/10 split by md5 of the CLUSTER canonical — near-dup cluster members
+# can never straddle train/val. naive_leaked_docs counts the docs a
+# doc-level hash split WOULD have leaked across the boundary.
+SPLIT_MOD, SPLIT_TRAIN = 10, 9
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val split: hash the near-dup CLUSTER id
+    (connected-components canonical; singletons are their own cluster)
+    so every near-duplicate lands on the same side of the split.
+    Composes the already-bounded pair + CC pipelines with one extra
+    left join (cluster table is a fraction of the corpus — AQE
+    broadcasts it) and one map-side-combinable groupBy."""
+    from aktuell_spark.functions.dedupe import ngram_jaccard_pairs
+    from aktuell_spark.operators.components import dedup_clusters
+    from aktuell_spark.operators.sharding import shard_id
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_df=NEAR_DUP_MAX_DF)
+    comp = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    full = docs.join(comp, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )
+    csplit = F.when(
+        shard_id(F.col("cluster_id"), SPLIT_MOD) < SPLIT_TRAIN, "train"
+    ).otherwise("val")
+    nsplit = F.when(
+        shard_id(F.col("doc_id"), SPLIT_MOD) < SPLIT_TRAIN, "train"
+    ).otherwise("val")
+    return (
+        full.withColumn("split", csplit)
+        .withColumn("naive_leaked", (nsplit != csplit).cast("long"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("naive_leaked").alias("naive_leaked_docs"),
+        )
+    )
+
+
+def _leakage_split_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_NEAR_DUP_JACCARD}) jp
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+walk(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+  UNION
+  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.v
+),
+comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM walk GROUP BY v),
+fullc AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+lab AS (
+  SELECT *,
+    CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::UBIGINT
+              % {SPLIT_MOD} < {SPLIT_TRAIN}
+         THEN 'train' ELSE 'val' END AS split,
+    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % {SPLIT_MOD} < {SPLIT_TRAIN}
+         THEN 'train' ELSE 'val' END AS nsplit
+  FROM fullc
+)
+SELECT split,
+       count(*) AS n_docs,
+       count(DISTINCT cluster_id) AS n_clusters,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN nsplit != split THEN 1 ELSE 0 END) AS BIGINT)
+         AS naive_leaked_docs
+FROM lab GROUP BY split
+"""
+
+
+EXTRA_QUERIES["leakage_split"] = (q_leakage_split, _leakage_split_sql())
+
+
+PACK_SPAN_TARGET = 2048
+PACK_SPAN_SHARDS = 8
+
+
+def q_packed_sft_spans(spark, sf_dir):
+    """SFT mask × sequence packing: every loss span mapped into the
+    packed-stream coordinates a dataloader consumes — shard, pack_id,
+    absolute [start, end) in the shard's concat stream. Pure window
+    arithmetic after conversation/shard-keyed shuffles; all-integer
+    output so the packed mask is value-verified cross-engine
+    (functions/sft.py packed_sft_spans)."""
+    from aktuell_spark.functions.sft import packed_sft_spans
+
+    ev = load(spark, sf_dir, "events")
+    return packed_sft_spans(
+        ev, target_chars=PACK_SPAN_TARGET, conv_col="user_id",
+        order_col="event_id", role_col="event_type", text_col="props",
+        loss_role="click", n_shards=PACK_SPAN_SHARDS,
+    ).withColumnRenamed("user_id", "conv_id")
+
+
+def _packed_sft_spans_sql() -> str:
+    return f"""
+WITH seg AS (
+  SELECT user_id AS conv_id, event_id, event_type,
+         length('<|' || event_type || '|>' || coalesce(props, '')
+                || chr(10)) AS seg_chars
+  FROM events
+), off AS (
+  SELECT conv_id, event_id, event_type, seg_chars,
+         sum(seg_chars) OVER (PARTITION BY conv_id ORDER BY event_id)
+           - seg_chars AS start_char
+  FROM seg
+), spans AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY event_id)
+              AS BIGINT) AS span_idx,
+         start_char, start_char + seg_chars AS end_char
+  FROM off WHERE event_type = 'click'
+), clen AS (
+  SELECT conv_id, sum(seg_chars) AS conv_chars,
+         conv_id % {PACK_SPAN_SHARDS} AS shard
+  FROM seg GROUP BY conv_id
+), starts AS (
+  SELECT conv_id, shard,
+         sum(conv_chars) OVER (PARTITION BY shard ORDER BY conv_id)
+           - conv_chars AS conv_start
+  FROM clen
+)
+SELECT s.conv_id, s.span_idx, CAST(st.shard AS BIGINT) AS shard,
+       CAST((st.conv_start + s.start_char) // {PACK_SPAN_TARGET}
+            AS BIGINT) AS pack_id,
+       CAST(st.conv_start + s.start_char AS BIGINT) AS abs_start,
+       CAST(st.conv_start + s.end_char AS BIGINT) AS abs_end
+FROM spans s JOIN starts st USING (conv_id)
+"""
+
+
+EXTRA_QUERIES["packed_sft_spans"] = (q_packed_sft_spans, _packed_sft_spans_sql())
+
+
+def q_media_pixels(spark, sf_dir):
+    """FULL media decode: every PNG scanline unfiltered across all five
+    PNG filter types (fixtures cycle y % 5 — Sub/Up/Average/Paeth all
+    exercised) and every WAV PCM sample read. The oracle recomputes
+    pixel sums, filter bitmasks, and full-stream PCM stats from the
+    fixtures' closed forms — a defect anywhere in filter → deflate →
+    inflate → unfilter flips a value."""
+    from aktuell_spark.functions.multimodal import (
+        extract_media_pixels,
+        synthesize_filtered_media,
+    )
+    from aktuell_spark.session import _ship_package
+
+    _ship_package(spark)
+    media = synthesize_filtered_media(spark, n=MEDIA_META_N, seed=42)
+    return extract_media_pixels(media)
+
+
+def _media_pixels_sql() -> str:
+    # closed forms: PNG pixel (x,y) = (x*31 + y*17 + 42+i) % 256 over
+    # 3*(4+i%13) × (3+i%7); filters y%5 -> mask = (1 << min(h,5)) - 1;
+    # WAV: ((j*997 + 42+i) % 65536) - 32768 over ALL
+    # (50+i%40)*(1+i%2) samples
+    return f"""
+WITH m AS (SELECT unnest(range({MEDIA_META_N})) AS i),
+png AS (
+  SELECT i, CAST(sum((x * 31 + y * 17 + 42 + i) % 256) AS BIGINT) AS px_sum,
+         CAST(count(*) AS BIGINT) AS n_px
+  FROM (
+    SELECT i, y, unnest(range(3 * (4 + i % 13))) AS x
+    FROM (SELECT i, unnest(range(3 + i % 7)) AS y
+          FROM m WHERE i % 2 = 0 AND i % 8 <> 7)
+  )
+  GROUP BY i
+),
+wav AS (
+  SELECT i, CAST(max(abs(v)) AS INTEGER) AS pcm_peak,
+         CAST(sum(v * v) AS BIGINT) AS pcm_sumsq,
+         CAST(count(*) AS INTEGER) AS n_pcm
+  FROM (
+    SELECT i, ((j * 997 + 42 + i) % 65536) - 32768 AS v
+    FROM (SELECT i, unnest(range((50 + i % 40) * (1 + i % 2))) AS j
+          FROM m WHERE i % 2 = 1 AND i % 8 <> 7)
+  )
+  GROUP BY i
+)
+SELECT m.i AS media_id,
+  CASE WHEN m.i % 2 = 0 OR m.i % 8 = 7 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+  (m.i % 8 <> 7) AS valid_deep,
+  png.px_sum, png.n_px,
+  CAST(CASE WHEN m.i % 2 = 0 AND m.i % 8 <> 7 THEN 3 + m.i % 7 END
+       AS INTEGER) AS n_rows,
+  CAST(CASE WHEN m.i % 2 = 0 AND m.i % 8 <> 7
+            THEN (1 << least(3 + m.i % 7, 5)) - 1 END
+       AS INTEGER) AS filters_mask,
+  wav.pcm_peak, wav.pcm_sumsq, wav.n_pcm
+FROM m LEFT JOIN png ON m.i = png.i LEFT JOIN wav ON m.i = wav.i
+"""
+
+
+EXTRA_QUERIES["media_pixels"] = (q_media_pixels, _media_pixels_sql())

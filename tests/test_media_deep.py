@@ -93,3 +93,72 @@ def test_extract_media_content_distributed(spark):
             vals = [((j * 997 + 42 + i) % 65536) - 32768 for j in range(n)]
             assert r["valid_deep"] and r["pcm_peak"] == max(abs(v) for v in vals)
             assert r["pcm_sumsq"] == sum(v * v for v in vals) and r["n_pcm"] == n
+
+
+# -- full-image decode: all five filter types (round 5b) ---------------
+
+def test_filter_codec_hand_vectors():
+    """Encoder direction pinned to independently hand-computed bytes
+    (bpp=1), decoder pinned as its inverse — a matched sign/predictor
+    bug in both directions cannot hide from the explicit vectors."""
+    from aktuell_spark.functions.multimodal import (
+        _png_filter_row, _png_unfilter_row)
+    prev, row = bytes([10, 20, 30]), bytes([5, 15, 25])
+    assert _png_filter_row(row, prev, 1, 1) == bytes([5, 10, 10])
+    assert _png_filter_row(row, prev, 1, 2) == bytes([251, 251, 251])
+    assert _png_filter_row(row, prev, 1, 3) == bytes([0, 3, 3])
+    # Paeth: predictors are (10, 20, 30) -> x - pred = 251 each
+    assert _png_filter_row(row, prev, 1, 4) == bytes([251, 251, 251])
+    for t in (1, 2, 3, 4):
+        assert _png_unfilter_row(
+            _png_filter_row(row, prev, 1, t), prev, 1, t) == row
+
+
+def test_full_decode_matches_closed_form():
+    from aktuell_spark.functions.multimodal import (
+        decode_png_pixels, png_bytes)
+    for (w, h, seed) in [(4, 3, 0), (7, 9, 5), (16, 6, 42), (5, 5, 7)]:
+        for rf in [None, lambda y: y % 5, lambda y: 4,
+                   lambda y: (y * 3 + 1) % 5]:
+            st = decode_png_pixels(png_bytes(w, h, seed=seed, row_filter=rf))
+            want = sum((x * 31 + y * 17 + seed) % 256
+                       for y in range(h) for x in range(3 * w))
+            assert st is not None
+            assert (st["px_sum"], st["n_px"], st["n_rows"]) == (want, 3 * w * h, h)
+
+
+def test_full_decode_filters_mask_and_rejects():
+    from aktuell_spark.functions.multimodal import (
+        decode_png_pixels, png_bytes)
+    st = decode_png_pixels(png_bytes(6, 7, row_filter=lambda y: y % 5))
+    assert st["filters_mask"] == 0b11111
+    st0 = decode_png_pixels(png_bytes(6, 2))
+    assert st0["filters_mask"] == 0b1
+    assert decode_png_pixels(b"\x89PNG-broken" + b"\x00" * 16) is None
+    assert decode_png_pixels(None) is None
+    # oversize declared dims refuse instead of allocating
+    from aktuell_spark.functions import multimodal as mm
+    big = png_bytes(64, 4)
+    assert decode_png_pixels(big, max_pixels=10) is None
+
+
+def test_extract_media_pixels_spark(spark):
+    """The distributed leg: mapInPandas full decode over the filtered
+    fixtures equals driver-side decode of the same closed-form blobs."""
+    from aktuell_spark.functions.multimodal import (
+        decode_png_pixels, extract_media_pixels, png_bytes,
+        synthesize_filtered_media)
+
+    got = {r["media_id"]: r for r in
+           extract_media_pixels(synthesize_filtered_media(spark, n=32)).collect()}
+    assert len(got) == 32
+    for i in range(32):
+        r = got[i]
+        if i % 8 == 7:
+            assert not r["valid_deep"]
+        elif i % 2 == 0:
+            st = decode_png_pixels(png_bytes(4 + i % 13, 3 + i % 7,
+                                             seed=42 + i,
+                                             row_filter=lambda y: y % 5))
+            assert r["valid_deep"] and r["px_sum"] == st["px_sum"]
+            assert r["filters_mask"] == st["filters_mask"]
