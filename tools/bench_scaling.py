@@ -348,9 +348,9 @@ toward the merge-stage number.
 share one DRAM bus, so the memory-bandwidth-bound shuffle stops scaling
 near ~8 threads here (per-core throughput drops from
 {percore8:,.0f} to {percore32:,.0f} events/s/core). A real 4x-node
-cluster multiplies memory channels and disks with nodes; the 2->8 pair
-is the regime where this sandbox can genuinely supply 4x resources and
-is the reported N->4N criterion.
+cluster multiplies memory channels and disks with nodes; the 1->4 pair
+(both sides far below bandwidth saturation) is the headline N->4N
+criterion pair, with 2->8 reported alongside.
 
 ## End-to-end sync latency (4N, steady micro-batches)
 
