@@ -2991,9 +2991,18 @@ def q_stream_curate(spark, sf_dir):
     from aktuell_spark.streaming.curation import run_curation_stream
 
     base = tempfile.mkdtemp(prefix="aktuell_stream_curate_")
+    # FileStreamSource requires a DIRECTORY feed (its basePath must be
+    # a dir); the sf tables are single parquet files, so stage the file
+    # into a feed dir — zero-copy, exactly how a real shard feed lands
+    feed = os.path.join(base, "feed")
+    os.makedirs(feed)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(feed, "documents.parquet"),
+    )
     _, table = run_curation_stream(
         spark,
-        os.path.join(sf_dir, "documents.parquet"),
+        feed,
         os.path.join(base, "table"),
         os.path.join(base, "ckpt"),
         min_quality=CURATE_MIN_QUALITY,
