@@ -165,3 +165,65 @@ def packed_sft_spans(
             (F.col("conv_start") + F.col("end_char")).alias("abs_end"),
         )
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    id_col: str = "turn_idx",
+    role_col: str = "role",
+    score_col: str = "score",
+    loss_role: str = "assistant",
+) -> DataFrame:
+    """Preference-pair extraction (DPO/RLHF data prep): per
+    conversation, the highest-scored loss-role turn becomes ``chosen``
+    and the lowest-scored becomes ``rejected`` (ties broken by id
+    ascending — fully deterministic, engine-reproducible). Conversations
+    with fewer than two candidates, or whose candidates all tie, yield
+    no pair — only strict preferences (margin > 0) are emitted.
+
+    ONE shuffle: both rank windows and the candidate count share the
+    conversation partitioning; the best×worst self-join is
+    co-partitioned on the same key so Catalyst plans no extra exchange
+    at scale.
+    """
+    cand = df.filter(F.col(role_col) == loss_role).select(
+        F.col(conv_col), F.col(id_col), F.col(score_col)
+    )
+    w_best = Window.partitionBy(conv_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w_worst = Window.partitionBy(conv_col).orderBy(
+        F.asc(score_col), F.asc(id_col)
+    )
+    ranked = (
+        cand.withColumn("_rb", F.row_number().over(w_best))
+        .withColumn("_rw", F.row_number().over(w_worst))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(conv_col)))
+    )
+    best = ranked.filter((F.col("_rb") == 1) & (F.col("_n") >= 2)).select(
+        F.col(conv_col),
+        F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"),
+    )
+    worst = ranked.filter(F.col("_rw") == 1).select(
+        F.col(conv_col),
+        F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+    )
+    return (
+        best.join(worst, conv_col)
+        # only STRICT preferences leave the operator: an all-tied
+        # conversation carries no preference signal (margin-0 pairs
+        # are useless to DPO and ambiguous under tiebreaks)
+        .filter(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            conv_col,
+            "chosen_id",
+            "rejected_id",
+            F.round("chosen_score", 6).alias("chosen_score"),
+            F.round("rejected_score", 6).alias("rejected_score"),
+            F.round(F.col("chosen_score") - F.col("rejected_score"), 6)
+            .alias("margin"),
+        )
+    )

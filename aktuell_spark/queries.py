@@ -3462,3 +3462,97 @@ FROM m LEFT JOIN png ON m.i = png.i LEFT JOIN wav ON m.i = wav.i
 
 
 EXTRA_QUERIES["media_pixels"] = (q_media_pixels, _media_pixels_sql())
+
+
+def q_preference_pairs(spark, sf_dir):
+    """DPO/RLHF preference pairs over the transcript table: per
+    conversation, highest-value vs lowest-value "click" turn
+    (deterministic id tiebreaks), with the score margin. One keyed
+    shuffle; the best/worst legs and their join share the conversation
+    partitioning (functions/sft.py preference_pairs)."""
+    from aktuell_spark.functions.sft import preference_pairs
+
+    ev = load(spark, sf_dir, "events")
+    return preference_pairs(
+        ev, conv_col="user_id", id_col="event_id",
+        role_col="event_type", score_col="value", loss_role="click",
+    ).withColumnRenamed("user_id", "conv_id")
+
+
+SQL_PREFERENCE_PAIRS = """
+WITH cand AS (
+  SELECT user_id AS conv_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rb,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value ASC, event_id ASC) AS rw,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE event_type = 'click'
+)
+SELECT b.conv_id,
+       b.event_id AS chosen_id,
+       w.event_id AS rejected_id,
+       round(b.value, 6) AS chosen_score,
+       round(w.value, 6) AS rejected_score,
+       round(b.value - w.value, 6) AS margin
+FROM (SELECT * FROM cand WHERE rb = 1 AND n >= 2) b
+JOIN (SELECT * FROM cand WHERE rw = 1) w USING (conv_id)
+WHERE b.value > w.value
+"""
+
+
+EXTRA_QUERIES["preference_pairs"] = (q_preference_pairs, SQL_PREFERENCE_PAIRS)
+
+
+CURRICULUM_BINS = 4  # quality quartile bins (closed-form thresholds)
+CURRICULUM_SHARDS = 8
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: within each training shard, docs are
+    ordered hardest-last — descending quality bin (floor(score*BINS),
+    clamped), md5(doc_id) tiebreak so the order is deterministic and
+    engine-reproducible with no global sort. ord is the position a
+    sequential dataloader reads; one narrow scoring map + one
+    shard-keyed window."""
+    from pyspark.sql import Window
+
+    from aktuell_spark.functions.textops import with_quality_score
+    from aktuell_spark.operators.sharding import shard_id
+
+    docs = with_quality_score(load(spark, sf_dir, "documents"))
+    binned = docs.select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("quality_score") * CURRICULUM_BINS),
+            F.lit(CURRICULUM_BINS - 1),
+        ).cast("int").alias("bin"),
+        shard_id(F.col("doc_id"), CURRICULUM_SHARDS).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("_tie"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("bin"), F.asc("_tie"))
+    return binned.withColumn(
+        "ord", F.row_number().over(w).cast("long")
+    ).select("doc_id", "shard", "bin", "ord")
+
+
+def _curriculum_order_sql() -> str:
+    return f"""
+WITH q AS ({SQL_QUALITY_SCORE}),
+b AS (
+  SELECT doc_id,
+         CAST(least(floor(quality_score * {CURRICULUM_BINS}),
+                    {CURRICULUM_BINS - 1}) AS INTEGER) AS bin,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % {CURRICULUM_SHARDS} AS INTEGER) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS tie
+  FROM q
+)
+SELECT doc_id, shard, bin,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY bin DESC, tie ASC) AS BIGINT) AS ord
+FROM b
+"""
+
+
+EXTRA_QUERIES["curriculum_order"] = (q_curriculum_order, _curriculum_order_sql())

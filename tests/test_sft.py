@@ -130,3 +130,42 @@ def test_packed_spans_match_python(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_preference_pairs(spark):
+    from aktuell_spark.functions.sft import preference_pairs
+
+    rows = [
+        # conv 1: clear best/worst
+        (1, 1, "assistant", 0.9), (1, 2, "assistant", 0.1),
+        (1, 3, "assistant", 0.5), (1, 4, "user", 99.0),
+        # conv 2: score tie -> id tiebreak (chosen=lowest id among max,
+        # rejected=lowest id among min, and chosen != rejected)
+        (2, 5, "assistant", 0.7), (2, 6, "assistant", 0.7),
+        # conv 3: single candidate -> no pair
+        (3, 7, "assistant", 0.3),
+        # conv 4: no candidates at all
+        (4, 8, "user", 0.8),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, score double"
+    )
+    got = {r["conv_id"]: r for r in preference_pairs(df).collect()}
+    # conv 2 is all-tied: no strict preference, no pair
+    assert set(got) == {1}
+    assert (got[1]["chosen_id"], got[1]["rejected_id"]) == (1, 2)
+    assert abs(got[1]["margin"] - 0.8) < 1e-9
+    assert got[1]["margin"] > 0
+
+
+def test_preference_pairs_partitioning_invariant(spark):
+    from aktuell_spark.functions.sft import preference_pairs
+
+    rows = [(c, c * 10 + t, "assistant", float((c * 7 + t * 3) % 11) / 11)
+            for c in range(1, 20) for t in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, score double"
+    )
+    a = sorted(map(tuple, preference_pairs(df).collect()))
+    b = sorted(map(tuple, preference_pairs(df.repartition(13)).collect()))
+    assert a == b and len(a) == 19
