@@ -182,48 +182,39 @@ def preference_pairs(
     with fewer than two candidates, or whose candidates all tie, yield
     no pair — only strict preferences (margin > 0) are emitted.
 
-    ONE shuffle: both rank windows and the candidate count share the
-    conversation partitioning; the best×worst self-join is
-    co-partitioned on the same key so Catalyst plans no extra exchange
-    at scale.
+    ONE map-side-combinable shuffle: chosen/rejected are
+    ``max(struct(score, -id))`` / ``min(struct(score, id))`` — struct
+    ordering gives exactly the (score, id-tiebreak) argmax/argmin, and
+    partial aggregation combines on the map side, so the exchange
+    carries one row per (partition, conversation) however long the
+    conversations are. Strictly cheaper at scale than the equivalent
+    two rank windows + self-join (full sort + 3 exchanges).
     """
     cand = df.filter(F.col(role_col) == loss_role).select(
         F.col(conv_col), F.col(id_col), F.col(score_col)
     )
-    w_best = Window.partitionBy(conv_col).orderBy(
-        F.desc(score_col), F.asc(id_col)
-    )
-    w_worst = Window.partitionBy(conv_col).orderBy(
-        F.asc(score_col), F.asc(id_col)
-    )
-    ranked = (
-        cand.withColumn("_rb", F.row_number().over(w_best))
-        .withColumn("_rw", F.row_number().over(w_worst))
-        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(conv_col)))
-    )
-    best = ranked.filter((F.col("_rb") == 1) & (F.col("_n") >= 2)).select(
-        F.col(conv_col),
-        F.col(id_col).alias("chosen_id"),
-        F.col(score_col).alias("chosen_score"),
-    )
-    worst = ranked.filter(F.col("_rw") == 1).select(
-        F.col(conv_col),
-        F.col(id_col).alias("rejected_id"),
-        F.col(score_col).alias("rejected_score"),
+    agg = cand.groupBy(conv_col).agg(
+        F.max(
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni"))
+        ).alias("_best"),
+        F.min(
+            F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i"))
+        ).alias("_worst"),
+        F.count(F.lit(1)).alias("_n"),
     )
     return (
-        best.join(worst, conv_col)
         # only STRICT preferences leave the operator: an all-tied
         # conversation carries no preference signal (margin-0 pairs
         # are useless to DPO and ambiguous under tiebreaks)
-        .filter(F.col("chosen_score") > F.col("rejected_score"))
+        agg.filter(
+            (F.col("_n") >= 2) & (F.col("_best.s") > F.col("_worst.s"))
+        )
         .select(
             conv_col,
-            "chosen_id",
-            "rejected_id",
-            F.round("chosen_score", 6).alias("chosen_score"),
-            F.round("rejected_score", 6).alias("rejected_score"),
-            F.round(F.col("chosen_score") - F.col("rejected_score"), 6)
-            .alias("margin"),
+            (-F.col("_best.ni")).alias("chosen_id"),
+            F.col("_worst.i").alias("rejected_id"),
+            F.round(F.col("_best.s"), 6).alias("chosen_score"),
+            F.round(F.col("_worst.s"), 6).alias("rejected_score"),
+            F.round(F.col("_best.s") - F.col("_worst.s"), 6).alias("margin"),
         )
     )
