@@ -3556,3 +3556,94 @@ FROM b
 
 
 EXTRA_QUERIES["curriculum_order"] = (q_curriculum_order, _curriculum_order_sql())
+
+
+# target training mixture by TOKEN share (not doc count): weights must
+# be literals so the static SQL oracle derives identical thresholds
+MIX_BUDGET = 8_000
+MIX_WEIGHTS = {"en": 0.2, "zh": 0.1, "es": 0.1, "de": 0.1, "fr": 0.5}
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture control: per-language sampling rates derived
+    from the DATA (rate = budget x weight / lang_tokens, clamped to 1)
+    so the sampled corpus hits a target token mixture, then the
+    deterministic md5 stratified sampler applies them. The per-language
+    totals are a k-row driver collect (k = #languages — bounded like
+    the IVF centroid models); membership stays a pure key-hash
+    function, so the identical rows survive on any cluster size or
+    engine. Two map-side-combinable aggs + one narrow filter; fr's
+    weight intentionally overshoots its corpus so the rate-1.0
+    keep-all path is exercised."""
+    from aktuell_spark.functions.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    d = docs.select("doc_id", "lang", toks.alias("n_tok"))
+    totals = {
+        r["lang"]: r["t"]
+        for r in d.groupBy("lang").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    rates = {
+        s: min(1.0, (MIX_BUDGET * w) / totals[s])
+        for s, w in MIX_WEIGHTS.items()
+        if s in totals
+    }
+    sampled = stratified_sample(
+        d, key="doc_id", stratum="lang", rates=rates, default_rate=0.0
+    )
+    samp = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_sampled"),
+        F.sum("n_tok").alias("tokens_sampled"),
+    )
+    rate_col = F.lit(None).cast("double")
+    for s, r in sorted(rates.items()):
+        rate_col = F.when(F.col("lang") == s, F.lit(r)).otherwise(rate_col)
+    return (
+        d.groupBy("lang")
+        .agg(F.sum("n_tok").alias("lang_tokens"))
+        .join(samp, "lang", "left")
+        .select(
+            "lang",
+            "lang_tokens",
+            F.round(rate_col, 6).alias("rate"),
+            F.coalesce("n_docs_sampled", F.lit(0)).cast("long").alias("n_docs_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0)).cast("long").alias("tokens_sampled"),
+        )
+    )
+
+
+def _token_budget_mix_sql() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(MIX_WEIGHTS.items()))
+    return f"""
+WITH w(lang, wgt) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lang_tokens
+        FROM tok GROUP BY lang),
+thr AS (
+  SELECT t.lang, t.lang_tokens,
+         least(1.0, ({MIX_BUDGET} * w.wgt) / t.lang_tokens) AS rate,
+         CAST(floor(least(1.0, ({MIX_BUDGET} * w.wgt) / t.lang_tokens)
+                    * 65536) AS BIGINT) AS t16
+  FROM tot t JOIN w ON t.lang = w.lang
+),
+samp AS (
+  SELECT k.lang, k.n_tok
+  FROM tok k JOIN thr ON k.lang = thr.lang
+  WHERE thr.rate >= 1.0
+     OR ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))::UBIGINT
+        < thr.t16
+)
+SELECT thr.lang, thr.lang_tokens, round(thr.rate, 6) AS rate,
+       CAST(count(s.n_tok) AS BIGINT) AS n_docs_sampled,
+       CAST(coalesce(sum(s.n_tok), 0) AS BIGINT) AS tokens_sampled
+FROM thr LEFT JOIN samp s ON thr.lang = s.lang
+GROUP BY thr.lang, thr.lang_tokens, thr.rate
+"""
+
+
+EXTRA_QUERIES["token_budget_mix"] = (q_token_budget_mix, _token_budget_mix_sql())
