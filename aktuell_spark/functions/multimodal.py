@@ -444,6 +444,13 @@ def decode_wav_pcm(payload: bytes | None,
     while pos + 8 <= len(payload):
         cid, clen = struct.unpack("<4sI", payload[pos:pos + 8])
         if cid == b"data":
+            # bound by the bytes ACTUALLY present, not the declared
+            # clen: a truncated payload (header intact, data cut
+            # short) must return the module's "truncated bytes →
+            # None" contract, not crash the task in struct.unpack
+            avail = (len(payload) - pos - 8) // 2
+            if clen // 2 > avail:
+                return None
             n = min(max_samples, clen // 2)
             if n == 0:
                 return {"pcm_peak": 0, "pcm_sumsq": 0, "n_pcm": 0}

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from aktuell_spark.operators.sharding import shard_id
+
 
 def render_segment(role_col: str, text_col: str):
     """One turn's rendered segment: ``<|role|>text\\n``. NULL text
@@ -141,7 +143,7 @@ def packed_sft_spans(
         )
         .groupBy(conv_col)
         .agg(F.sum(F.length("_seg")).cast("long").alias("conv_chars"))
-        .withColumn("shard", (F.col(conv_col) % n_shards).cast("long"))
+        .withColumn("shard", shard_id(F.col(conv_col), n_shards).cast("long"))
     )
     w_shard = (
         Window.partitionBy("shard")

@@ -3381,7 +3381,8 @@ WITH seg AS (
   FROM off WHERE event_type = 'click'
 ), clen AS (
   SELECT conv_id, sum(seg_chars) AS conv_chars,
-         conv_id % {PACK_SPAN_SHARDS} AS shard
+         ('0x' || substr(md5(conv_id::VARCHAR), 1, 8))::UBIGINT
+           % {PACK_SPAN_SHARDS} AS shard
   FROM seg GROUP BY conv_id
 ), starts AS (
   SELECT conv_id, shard,
@@ -3602,6 +3603,11 @@ def q_token_budget_mix(spark, sf_dir):
     return (
         d.groupBy("lang")
         .agg(F.sum("n_tok").alias("lang_tokens"))
+        # enumerate exactly the rate-covered (weighted ∩ present)
+        # languages — the same set the oracle's totals⋈weights join
+        # emits — so a data language outside MIX_WEIGHTS can never
+        # diverge the row sets (round-6 ADVICE fix)
+        .filter(F.col("lang").isin([*rates] or ["<no-weighted-lang>"]))
         .join(samp, "lang", "left")
         .select(
             "lang",

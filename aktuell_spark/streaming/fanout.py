@@ -121,6 +121,11 @@ class FanoutSink:
         self._lifecycle_lock = threading.Lock()
         self._last_epoch = -1
         self._frozen: dict[str, BucketedUpsertTable] = {}
+        # epochs currently merging (each holds a membership+tables
+        # snapshot); remove_subscription(drop_table=True) defers the
+        # physical rmtree until no in-flight epoch references tables
+        self._epoch_refs = 0
+        self._deferred_drops: list[str] = []
         self._spark = spark
         self._root = root
         self._table_kwargs = dict(
@@ -158,15 +163,42 @@ class FanoutSink:
 
     def merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         with self._lifecycle_lock:
-            # snapshot the live subscription list: add/remove_subscription
-            # may run on another thread while this epoch merges; the
-            # epoch uses the membership it started with (the reference's
-            # hub delivers in-flight messages to the client set at send
-            # time, pkg/server/websocket.go:226-249)
+            # snapshot membership AND the name->table mapping together:
+            # add/remove_subscription may run on another thread while
+            # this epoch merges; the epoch uses the membership (and the
+            # table objects) it started with (the reference's hub
+            # delivers in-flight messages to the client set at send
+            # time, pkg/server/websocket.go:226-249). A concurrent
+            # remove only mutates self.tables — this epoch's snapshot
+            # still resolves every name it started with, and the
+            # physical drop is deferred until the epoch releases it.
             subs = list(self.subs)
+            tables = dict(self.tables)
+            self._epoch_refs += 1
             self._last_epoch = max(self._last_epoch, epoch_id)
+        try:
+            self._merge_epoch(subs, tables, batch_df, epoch_id)
+        finally:
+            with self._lifecycle_lock:
+                self._epoch_refs -= 1
+                drops = []
+                if self._epoch_refs == 0 and self._deferred_drops:
+                    drops, self._deferred_drops = self._deferred_drops, []
+            if drops:
+                import shutil
+
+                for root in drops:
+                    shutil.rmtree(root, ignore_errors=True)
+
+    def _merge_epoch(
+        self,
+        subs: list[Subscription],
+        tables: dict[str, BucketedUpsertTable],
+        batch_df: DataFrame,
+        epoch_id: int,
+    ) -> None:
         pending = [
-            s for s in subs if not self.tables[s.name].is_committed(epoch_id)
+            s for s in subs if not tables[s.name].is_committed(epoch_id)
         ]
         if not pending and not self.rename_aware:
             return
@@ -192,12 +224,14 @@ class FanoutSink:
                     if prev is not None:
                         seg = seg.filter(F.col("seq") >= prev)
                     self._merge_subs(
-                        subs, seg, self.RENAME_SEG_BASE - epoch_id * 100 - i
+                        subs, tables, seg,
+                        self.RENAME_SEG_BASE - epoch_id * 100 - i,
                     )
-                    self._apply_rename(seq, old, new, ts)
+                    self._apply_rename(seq, old, new, ts, subs, tables)
                     prev = seq
                 self._merge_subs(
-                    subs, batch_df.filter(F.col("seq") >= prev), epoch_id
+                    subs, tables, batch_df.filter(F.col("seq") >= prev),
+                    epoch_id,
                 )
             elif renames:
                 # independent renames: merge everything that is not a
@@ -206,22 +240,23 @@ class FanoutSink:
                 target_cols = {new for (_seq, _old, new, _ts) in renames}
                 phase1 = [s for s in pending if s.collection not in target_cols]
                 phase2 = [s for s in pending if s.collection in target_cols]
-                self._merge_subs(phase1, batch_df, epoch_id)
+                self._merge_subs(phase1, tables, batch_df, epoch_id)
                 for seq, old, new, ts in renames:
-                    self._apply_rename(seq, old, new, ts)
-                self._merge_subs(phase2, batch_df, epoch_id)
+                    self._apply_rename(seq, old, new, ts, subs, tables)
+                self._merge_subs(phase2, tables, batch_df, epoch_id)
             else:
-                self._merge_subs(pending, batch_df, epoch_id)
+                self._merge_subs(pending, tables, batch_df, epoch_id)
         finally:
             batch_df.unpersist()
 
-    def _merge_subs(self, pending: list[Subscription], batch_df: DataFrame,
-                    epoch_id: int) -> None:
+    def _merge_subs(self, pending: list[Subscription],
+                    tables: dict[str, BucketedUpsertTable],
+                    batch_df: DataFrame, epoch_id: int) -> None:
         if not pending:
             return
         if len(pending) == 1:
             s = pending[0]
-            self.tables[s.name].merge_batch(s.apply(batch_df, epoch_id), epoch_id)
+            tables[s.name].merge_batch(s.apply(batch_df, epoch_id), epoch_id)
             return
         # concurrent per-subscription merges over the shared
         # cached batch: Spark's scheduler interleaves jobs from
@@ -239,7 +274,7 @@ class FanoutSink:
         ) as pool:
             futs = [
                 pool.submit(
-                    self.tables[s.name].merge_batch,
+                    tables[s.name].merge_batch,
                     s.apply(batch_df, epoch_id),
                     epoch_id,
                 )
@@ -264,7 +299,9 @@ class FanoutSink:
             .collect()
         ]
 
-    def _apply_rename(self, seq: int, old: str, new: str, ts) -> None:
+    def _apply_rename(self, seq: int, old: str, new: str, ts,
+                      subs: list[Subscription],
+                      tables: dict[str, BucketedUpsertTable]) -> None:
         """Move documents old→new: seed every subscription on the target
         collection from every subscription table on the source, then
         truncate the source tables (Mongo rename leaves nothing under
@@ -273,13 +310,13 @@ class FanoutSink:
         a crash anywhere in the sequence recovers exactly."""
         from pyspark.sql import functions as F
 
-        sources = [s for s in self.subs if s.collection == old]
-        targets = [s for s in self.subs if s.collection == new]
+        sources = [s for s in subs if s.collection == old]
+        targets = [s for s in subs if s.collection == new]
         for si, src in enumerate(sources):
-            st = self.tables[src.name]
+            st = tables[src.name]
             seed = st._read_raw()
             for tgt in targets:
-                tt = self.tables[tgt.name]
+                tt = tables[tgt.name]
                 seed_epoch = self._seed_epoch(seq, si)
                 if tt.is_committed(seed_epoch) or seed is None:
                     continue
@@ -399,6 +436,15 @@ class FanoutSink:
             for e in table._committed_epochs()
             if self.SEED_EPOCH_BASE - 999_999 <= e <= self.SEED_EPOCH_BASE
         )
+        # loud guard on band exhaustion: the 1M-id seed band is sized
+        # for ~10^6 re-bootstraps of one subscription; running off its
+        # end would silently collide with the rename-segment band
+        if used >= 999_000:
+            raise RuntimeError(
+                f"seed-epoch band nearly exhausted ({used} of 1M ids "
+                f"used below {self.SEED_EPOCH_BASE}); compact or "
+                "recreate the subscription table"
+            )
         return self.SEED_EPOCH_BASE - used
 
     def remove_subscription(self, name: str, drop_table: bool = False) -> None:
@@ -407,7 +453,10 @@ class FanoutSink:
         tests/integration_test.go:648-734): future epochs skip this
         subscription, its table stops changing. The table stays
         readable (frozen) unless ``drop_table`` — the reference keeps
-        client-side state after unsubscribe too."""
+        client-side state after unsubscribe too. Only MEMBERSHIP
+        mutates here: an in-flight epoch merges with the snapshot it
+        took, so the physical rmtree is deferred until no epoch holds
+        a reference (drained at epoch end in merge_batch)."""
         import shutil
 
         with self._lifecycle_lock:
@@ -417,9 +466,13 @@ class FanoutSink:
             self.subs = keep
             table = self.tables.pop(name)
             if drop_table:
-                shutil.rmtree(table.root, ignore_errors=True)
+                if self._epoch_refs > 0:
+                    self._deferred_drops.append(table.root)
+                    return
             else:
                 self._frozen[name] = table
+                return
+        shutil.rmtree(table.root, ignore_errors=True)
 
     def update_predicate(self, name: str, predicate: str | None) -> int:
         """Replace a LIVE subscription's doc-level predicate with an

@@ -626,8 +626,17 @@ class BucketedUpsertTable:
             try:
                 with open(os.path.join(self.metrics_dir, f"epoch-{e}.json")) as f:
                     touched_by[e] = set(json.load(f).get("touched_buckets", []))
-            except (OSError, ValueError):
-                touched_by[e] = set()
+            except (OSError, ValueError) as exc:
+                # a later committed epoch whose touched-bucket record
+                # cannot be read means the pre-image chain is broken:
+                # defaulting to "touched nothing" would silently serve
+                # CURRENT bucket contents as history — refuse loudly,
+                # per this method's own time-travel contract
+                raise ValueError(
+                    f"cannot reconstruct epoch {as_of_epoch}: metrics "
+                    f"sidecar for later committed epoch {e} is missing "
+                    f"or corrupt ({exc})"
+                ) from exc
         buckets: set[int] = set(self._present_buckets())
         for e in later:
             rdir = self._retain_dir(e)

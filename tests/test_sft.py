@@ -88,7 +88,10 @@ def test_partitioning_invariance(spark, turns):
 
 def test_packed_spans_match_python(spark):
     """Packed-stream coordinates vs a driver-side recomputation of the
-    same chunked-packing semantics (numeric conv keys)."""
+    same chunked-packing semantics (numeric conv keys; shard is the
+    portable md5 assignment from operators/sharding.py)."""
+    import hashlib
+
     from aktuell_spark.functions.sft import packed_sft_spans
 
     rows = [
@@ -109,7 +112,10 @@ def test_packed_spans_match_python(spark):
     want = set()
     by_shard: dict = {}
     for c in sorted(segs):
-        by_shard.setdefault(c % n_shards, []).append(c)
+        md5_shard = int(
+            hashlib.md5(str(c).encode()).hexdigest()[:8], 16
+        ) % n_shards
+        by_shard.setdefault(md5_shard, []).append(c)
     for shard, convs in by_shard.items():
         off = 0
         for c in convs:
@@ -130,6 +136,32 @@ def test_packed_spans_match_python(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_packed_spans_string_conv_ids(spark):
+    """String conversation keys (the partial-update tables' conv_id
+    shape) must shard portably, not collapse into a null shard via a
+    failed numeric cast (round-6 ADVICE fix)."""
+    import hashlib
+
+    from aktuell_spark.functions.sft import packed_sft_spans
+
+    rows = [
+        (f"conv-{c}", t, ("assistant" if t % 2 == 0 else "user"), f"m{c}.{t}")
+        for c in range(6)
+        for t in range(1, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = packed_sft_spans(df, target_chars=40, n_shards=4).collect()
+    assert out, "string keys produced no spans"
+    assert all(r["shard"] is not None for r in out)
+    got_shards = {r["conv_id"]: r["shard"] for r in out}
+    for cid, shard in got_shards.items():
+        want = int(hashlib.md5(cid.encode()).hexdigest()[:8], 16) % 4
+        assert shard == want, (cid, shard, want)
+    assert len(set(got_shards.values())) > 1, "all convs in one shard"
 
 
 def test_preference_pairs(spark):
