@@ -2176,6 +2176,27 @@ QUERIES.update(
 )
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same cluster semantics as dedup_clusters but via the
+    O(log n)-round large-star/small-star path (Kiveris et al.,
+    MapReduce'14) — the high-diameter-safe variant for graphs where
+    hash-min's diameter-bounded rounds would exhaust (chained
+    templates at 100 TB). Identical labels by construction (component
+    min), so it shares dedup_clusters' oracle verbatim
+    (operators/components.py:_star_components)."""
+    from aktuell_spark.functions.dedupe import ngram_jaccard_pairs
+    from aktuell_spark.operators.components import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_df=NEAR_DUP_MAX_DF)
+    return dedup_clusters(pairs, algorithm="star")
+
+
+QUERIES.update(
+    {"dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql())}
+)
+
+
 # balanced-mix rates: downsample the dominant language, keep all of the
 # rarest; everything else at the default. Pinned here so the static SQL
 # oracle carries the identical CASE thresholds.
@@ -3653,3 +3674,81 @@ GROUP BY thr.lang, thr.lang_tokens, thr.rate
 
 
 EXTRA_QUERIES["token_budget_mix"] = (q_token_budget_mix, _token_budget_mix_sql())
+
+
+def q_changes_cow(spark, sf_dir):
+    """Incremental change feed from a COPY-ON-WRITE table with epoch
+    retention (streaming/sink.py:_changes_cow — round-6 closure of the
+    CoW/MoR changes() parity gap): the events table becomes a two-epoch
+    CDC load (split at the seq midpoint, 'error' events are deletes)
+    into a cow_retain_epochs table, and changes(0, 1) — the per-key net
+    change of epoch 1 computed by diffing the retained epoch-0 state
+    against head on (key, seq) — is value-verified against a pure-SQL
+    state diff. Tombstones surface with their REAL delete seqs because
+    CoW buckets physically keep delete rows until compaction. Scale
+    shape: the diff reads only sidecar-recorded touched buckets and
+    pays one anti-join keyed on (bucket, key, seq)."""
+    import os
+    import tempfile
+
+    from aktuell_spark.streaming.sink import BucketedUpsertTable
+
+    ev = load(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    ch = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 7).cast("int").alias("turn_idx"),
+        F.when(~is_del, F.col("event_type")).alias("role"),
+        F.when(~is_del, F.col("props")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+        F.col("event_id").alias("seq"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+    )
+    mid = ch.agg(F.max("seq")).collect()[0][0] // 2
+    base = tempfile.mkdtemp(prefix="aktuell_changes_cow_")
+    table = BucketedUpsertTable(
+        spark, os.path.join(base, "t"), n_buckets=8, cow_retain_epochs=4
+    )
+    table.merge_batch(ch.filter(F.col("seq") <= mid), 0)
+    table.merge_batch(ch.filter(F.col("seq") > mid), 1)
+    return table.changes(0, 1).drop("bucket")
+
+
+SQL_CHANGES_COW = """
+WITH ch AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 7 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS role,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+         CAST(NULL AS VARCHAR) AS tool,
+         ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM events
+),
+mid AS (SELECT max(seq) // 2 AS m FROM ch),
+s1 AS (
+  SELECT * FROM (
+    SELECT ch.*, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+    FROM ch)
+  WHERE rn = 1
+),
+s0 AS (
+  SELECT * FROM (
+    SELECT ch.*, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+    FROM ch WHERE seq <= (SELECT m FROM mid))
+  WHERE rn = 1
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, seq, op
+FROM s1
+WHERE NOT EXISTS (
+  SELECT 1 FROM s0
+  WHERE s0.conv_id = s1.conv_id AND s0.turn_idx = s1.turn_idx
+    AND s0.seq = s1.seq
+)
+"""
+
+
+EXTRA_QUERIES["changes_cow"] = (q_changes_cow, SQL_CHANGES_COW)

@@ -326,6 +326,89 @@ class BucketedUpsertTable:
             .select(*self.payload)
         )
 
+    def _changes_cow(
+        self, since_epoch: int, until_epoch: int | None
+    ) -> DataFrame:
+        """Per-key net changes in (since, until] on a CoW table with
+        epoch retention: state-at-until ANTI-JOIN state-at-since on
+        (bucket, key, seq). Sound because CoW state is already the LWW
+        collapse (one row per live key) and tombstones stay in the
+        bucket files until compaction — so a changed key surfaces
+        exactly its final image in the range, a deleted key surfaces
+        its tombstone with the delete's real seq, and an untouched key
+        (same seq on both sides) cancels. IO is bounded by the
+        sidecar-recorded touched buckets of the range, not table size;
+        the diff is one broadcast-or-shuffle join per changed bucket
+        set. Refuses outside the retention window or past compaction
+        (delegated to the as-of reconstruction)."""
+        committed = self._committed_epochs()
+        real = sorted(e for e in committed if e >= 0)
+        hi = until_epoch if until_epoch is not None else (
+            max(real) if real else since_epoch
+        )
+        if until_epoch is not None and until_epoch not in committed:
+            raise ValueError(f"until_epoch {until_epoch} is not committed")
+        if since_epoch >= 0 and since_epoch not in committed:
+            raise ValueError(f"since_epoch {since_epoch} is not committed")
+        rng = [e for e in real if since_epoch < e <= hi]
+        cols = [*self.state_cols, "bucket"]
+        if self.partial_updates:
+            cols += ["updated_fields", "removed_fields"]
+
+        def _empty():
+            e = (
+                self.spark.createDataFrame([], self._state_schema())
+                .withColumn("bucket", F.lit(0))
+            )
+            if self.partial_updates:
+                e = e.withColumn(
+                    "updated_fields", F.lit(None).cast("map<string,string>")
+                ).withColumn(
+                    "removed_fields", F.lit(None).cast("array<string>")
+                )
+            return e.select(*cols).limit(0)
+
+        if not rng:
+            return _empty()
+        touched: set[int] = set()
+        for e in rng:
+            try:
+                with open(
+                    os.path.join(self.metrics_dir, f"epoch-{e}.json")
+                ) as f:
+                    touched |= set(json.load(f).get("touched_buckets", []))
+            except (OSError, ValueError) as exc:
+                raise ValueError(
+                    f"changes() cannot bound the diff: metrics sidecar "
+                    f"for epoch {e} is missing or corrupt ({exc})"
+                ) from exc
+        if not touched:
+            return _empty()
+        new = (
+            self._read_raw(buckets=sorted(touched))
+            if hi == max(real)
+            else self._read_raw(buckets=sorted(touched), as_of_epoch=hi)
+        )
+        if new is None:
+            return _empty()
+        old = (
+            self._read_raw(buckets=sorted(touched), as_of_epoch=since_epoch)
+            if since_epoch in committed
+            else None
+        )
+        missing = [c for c in cols if c not in new.columns]
+        if missing:
+            # non-partial state never carries the delta-map columns;
+            # emit them null so the feed schema matches MoR changes()
+            new = new.withColumn(
+                "updated_fields", F.lit(None).cast("map<string,string>")
+            ).withColumn("removed_fields", F.lit(None).cast("array<string>"))
+        new = new.select(*cols)
+        if old is None:
+            return new
+        keys = ["bucket", *self.key, self.order_col]
+        return new.join(old.select(*keys), keys, "left_anti")
+
     def changes(self, since_epoch: int, until_epoch: int | None = None) -> DataFrame:
         """Incremental change read (Iceberg incremental-scan analogue):
         the per-key net changes committed in epochs (since, until] of a
@@ -336,12 +419,20 @@ class BucketedUpsertTable:
         (no state diffing); a key touched in several epochs of the
         range collapses to its final image in the range. Deletes are
         KEPT (op='delete' rows are the point of a change feed).
-        Raises on CoW tables and post-compaction, same as time travel.
+        CoW tables built with ``cow_retain_epochs > 0`` serve the same
+        feed inside their retention window by diffing adjacent retained
+        states per bucket (tombstones are physically kept in CoW
+        buckets until compaction, so deletes carry their TRUE seqs);
+        plain CoW and post-compaction raise, same as time travel.
         """
         if not self.merge_on_read:
+            if self.cow_retain_epochs > 0:
+                return self._changes_cow(since_epoch, until_epoch)
             raise ValueError(
                 "changes() requires merge_on_read=True (copy-on-write "
-                "epochs rewrite buckets; per-epoch deltas are not kept)"
+                "epochs rewrite buckets; per-epoch deltas are not "
+                "kept) — or a CoW table built with cow_retain_epochs "
+                "> 0 for a bounded recent-epoch window"
             )
         committed = self._committed_epochs()
         if since_epoch < self._expire_floor(committed) - 1:
@@ -487,7 +578,10 @@ class BucketedUpsertTable:
     ) -> DataFrame | None:
         if as_of_epoch is not None and not self.merge_on_read:
             if self.cow_retain_epochs > 0:
-                return self._read_cow_as_of(as_of_epoch)
+                return self._read_cow_as_of(
+                    as_of_epoch,
+                    buckets=set(buckets) if buckets is not None else None,
+                )
             raise ValueError(
                 "as_of_epoch requires merge_on_read=True (copy-on-write "
                 "epochs rewrite buckets in place; history is not kept) — "
@@ -593,7 +687,9 @@ class BucketedUpsertTable:
                 )
         return df
 
-    def _read_cow_as_of(self, as_of_epoch: int) -> DataFrame | None:
+    def _read_cow_as_of(
+        self, as_of_epoch: int, buckets: set[int] | None = None
+    ) -> DataFrame | None:
         """Reconstruct a CoW snapshot from retained epoch asides.
 
         State at epoch E, per bucket: if some later epoch touched the
@@ -637,14 +733,18 @@ class BucketedUpsertTable:
                     f"sidecar for later committed epoch {e} is missing "
                     f"or corrupt ({exc})"
                 ) from exc
-        buckets: set[int] = set(self._present_buckets())
+        all_buckets: set[int] = set(self._present_buckets())
         for e in later:
             rdir = self._retain_dir(e)
             for entry in os.listdir(rdir):
                 if entry.startswith("bucket="):
-                    buckets.add(int(entry.split("=", 1)[1]))
+                    all_buckets.add(int(entry.split("=", 1)[1]))
+        if buckets is not None:
+            # caller already knows which buckets can differ (e.g. the
+            # changes() diff) — skip reconstructing the rest
+            all_buckets &= buckets
         pieces = []
-        for b in sorted(buckets):
+        for b in sorted(all_buckets):
             first = min((e for e in later if b in touched_by[e]), default=None)
             if first is None:
                 p = os.path.join(self.data_dir, f"bucket={b}")

@@ -436,3 +436,75 @@ def test_cow_retention_survives_reopen_and_drop_floor(spark, tmp_path):
     re = BucketedUpsertTable(spark, str(root), n_buckets=4, cow_retain_epochs=4)
     assert {r["conv_id"] for r in re.read(as_of_epoch=0).collect()} == {"a", "b"}
     assert {r["conv_id"] for r in re.read(as_of_epoch=1).collect()} == {"c"}
+
+
+# -- CoW-with-retention change feed (round-6 task #4) ------------------
+
+def _cow_retained(spark, tmp_path, name="cowch", retain=8):
+    return BucketedUpsertTable(
+        spark, str(tmp_path / name), n_buckets=4, cow_retain_epochs=retain
+    )
+
+
+def test_cow_changes_feed_a_downstream_table(spark, tmp_path):
+    """Mirror of test_changes_feed_a_downstream_table on a CoW table
+    with epoch retention: a second sink tails the diff-based feed and
+    converges to the same state, deletes included (the tombstone rides
+    with its real seq)."""
+    up = _cow_retained(spark, tmp_path, "up")
+    up.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    up.merge_batch(_batch(spark, [
+        (3, "update", "a", 0, "u", "a1", "", "2025-01-01 00:01:00"),
+        (4, "delete", "b", 0, None, None, None, "2025-01-01 00:01:01"),
+    ]), 1)
+    down = BucketedUpsertTable(spark, str(tmp_path / "down"), n_buckets=4)
+    for i, since in enumerate([-1, 0]):
+        delta = up.changes(since, since + 1).drop("bucket")
+        down.merge_batch(delta, i)
+    assert (
+        {(r["conv_id"], r["text"]) for r in down.read().collect()}
+        == {(r["conv_id"], r["text"]) for r in up.read().collect()}
+        == {("a", "a1")}
+    )
+
+
+def test_cow_changes_collapses_range_and_skips_untouched(spark, tmp_path):
+    up = _cow_retained(spark, tmp_path, "rng")
+    up.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+        (2, "insert", "b", 0, "u", "b0", "", "2025-01-01 00:00:01"),
+    ]), 0)
+    up.merge_batch(_batch(spark, [
+        (3, "update", "a", 0, "u", "a1", "", "2025-01-01 00:01:00"),
+    ]), 1)
+    up.merge_batch(_batch(spark, [
+        (4, "update", "a", 0, "u", "a2", "", "2025-01-01 00:02:00"),
+    ]), 2)
+    # (0, 2]: a touched twice collapses to final image; b untouched
+    delta = {(r["conv_id"], r["text"], r["seq"])
+             for r in up.changes(0, 2).collect()}
+    assert delta == {("a", "a2", 4)}
+    # empty range
+    assert up.changes(2).count() == 0
+
+
+def test_cow_changes_refusals(spark, tmp_path):
+    plain = BucketedUpsertTable(spark, str(tmp_path / "plain"), n_buckets=4)
+    plain.merge_batch(_batch(spark, [
+        (1, "insert", "a", 0, "u", "a0", "", "2025-01-01 00:00:00"),
+    ]), 0)
+    with pytest.raises(ValueError, match="cow_retain_epochs"):
+        plain.changes(-1)
+
+    small = _cow_retained(spark, tmp_path, "small", retain=1)
+    for e in range(4):
+        small.merge_batch(_batch(spark, [
+            (e + 1, "update" if e else "insert", "a", 0, "u", f"a{e}", "",
+             "2025-01-01 00:00:00"),
+        ]), e)
+    # epoch-1 aside expired under retain=1 -> reconstruction refuses
+    with pytest.raises(ValueError, match="retention"):
+        small.changes(0, 2).count()
