@@ -19,8 +19,11 @@ oracle, unlike a rendered-text-only contract where a masking bug could
 hide.
 
 At 10^12 turns: per-conversation work only; no global sort, no
-driver-side state. Skewed (hot) conversations cost one long task each
-— same profile as the materialization sink, which salts at ingest.
+driver-side state. Skewed (hot) conversations no longer serialize one
+long task: ``sft_text(salt_span=...)`` (and conversation_export's
+export_conversations) take the two-phase salted-block path — partial
+render per (conv, order-block), then a bounded block-order merge —
+byte-identical to the flat path.
 """
 
 from __future__ import annotations
@@ -93,18 +96,113 @@ def sft_text(
     order_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
+    salt_span: int | None = None,
 ) -> DataFrame:
     """The rendered training string per conversation — the text the
     spans index into. Map-side partial ``collect_list`` then a
     partition-local ``array_sort`` on the unique order key (same shape
-    as conversation_export; never a global sort)."""
+    as conversation_export; never a global sort).
+
+    ``salt_span`` turns on the TWO-PHASE hot-conversation path (round-6
+    task #6): phase 1 groups by (conv, floor(order/salt_span)) — a
+    pathologically hot conversation's turns spread across many reducer
+    tasks instead of serializing one — and renders each contiguous
+    order-block to a partial string; phase 2 re-groups by conv alone
+    and concatenates the (few, pre-rendered) blocks in block order.
+    floor() blocking is MONOTONE in the order key, so block-local sort
+    + block-order concat equals the global per-conv order and the
+    output is byte-identical to the unsalted path (pinned by
+    tests/test_salted_export.py). Phase-2 fan-in per conversation is
+    n_turns/salt_span rows, bounded by span choice, not by how hot the
+    conversation is."""
     seg = render_segment(role_col, text_col)
-    packed = F.array_sort(
-        F.collect_list(F.struct(F.col(order_col).alias("o"), seg.alias("s")))
+    if salt_span is None:
+        packed = F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), seg.alias("s")))
+        )
+        return df.groupBy(F.col(conv_col)).agg(
+            F.array_join(F.transform(packed, lambda x: x["s"]), "").alias("sft_text"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+        )
+    if salt_span <= 0:
+        raise ValueError(f"salt_span must be positive, got {salt_span}")
+    blk = F.floor(F.col(order_col) / salt_span).cast("long")
+    part = df.groupBy(F.col(conv_col), blk.alias("_blk")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(order_col).alias("o"), seg.alias("s"))
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            "",
+        ).alias("_part"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
     )
-    return df.groupBy(F.col(conv_col)).agg(
-        F.array_join(F.transform(packed, lambda x: x["s"]), "").alias("sft_text"),
-        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    merged = F.array_sort(
+        F.collect_list(F.struct(F.col("_blk").alias("o"), F.col("_part").alias("s")))
+    )
+    return part.groupBy(F.col(conv_col)).agg(
+        F.array_join(F.transform(merged, lambda x: x["s"]), "").alias("sft_text"),
+        F.sum("_n").cast("long").alias("n_turns"),
+    )
+
+
+def export_conversations(
+    df: DataFrame,
+    seg,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    sep: str = "|",
+    salt_span: int | None = None,
+) -> DataFrame:
+    """Generic ordered per-conversation serialization: one row per
+    conversation with ``seg`` (a Column — the rendered per-event
+    segment) concatenated in ``order_col`` order, plus count/min/max
+    lineage. The batch form of the streaming engine's stable-per-turn-
+    ordering guarantee (O4). ``salt_span`` enables the same two-phase
+    hot-conversation path as sft_text: partial ``sep``-joined strings
+    per contiguous order-block, then a bounded block-order merge —
+    byte-identical because floor-blocking is monotone in the order key
+    and ``sep`` joins associate."""
+    o = F.col(order_col)
+    if salt_span is None:
+        packed = F.array_sort(
+            F.collect_list(F.struct(o.alias("o"), seg.alias("s")))
+        )
+        return df.groupBy(F.col(conv_col)).agg(
+            F.count("*").alias("n_events"),
+            F.min(order_col).alias("first_o"),
+            F.max(order_col).alias("last_o"),
+            F.array_join(F.transform(packed, lambda x: x["s"]), sep).alias("log"),
+        )
+    if salt_span <= 0:
+        raise ValueError(f"salt_span must be positive, got {salt_span}")
+    blk = F.floor(o / salt_span).cast("long")
+    part = df.groupBy(F.col(conv_col), blk.alias("_blk")).agg(
+        F.count("*").alias("_n"),
+        F.min(order_col).alias("_first"),
+        F.max(order_col).alias("_last"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(o.alias("o"), seg.alias("s")))
+                ),
+                lambda x: x["s"],
+            ),
+            sep,
+        ).alias("_part"),
+    )
+    merged = F.array_sort(
+        F.collect_list(F.struct(F.col("_blk").alias("o"), F.col("_part").alias("s")))
+    )
+    return part.groupBy(F.col(conv_col)).agg(
+        F.sum("_n").alias("n_events"),
+        F.min("_first").alias("first_o"),
+        F.max("_last").alias("last_o"),
+        F.array_join(F.transform(merged, lambda x: x["s"]), sep).alias("log"),
     )
 
 

@@ -181,6 +181,16 @@ def knn_lsh(
     if n_planes is None:
         n_planes = adaptive_n_planes(emb.count())
     b = _bucketed(emb, id_col, vec_col, n_planes)
+    return knn_from_cells(b, k, max_bucket_size)
+
+
+def knn_from_cells(
+    b: DataFrame, k: int, max_bucket_size: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """The in-cell top-k join over an ALREADY-bucketed vector set
+    (columns: id, vec, bucket) — shared by knn_lsh (cells computed on
+    the fly) and the stream-maintained ANN index (cells read back from
+    the materialized index table, streaming/ann_index.py)."""
     c = _capped_candidates(b, max_bucket_size)
     scored = (
         b.alias("a")

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aktuell_spark.operators.snapshot import SnapshotOptions, snapshot_scan
@@ -3127,6 +3127,9 @@ FROM assigned WHERE crank = 1 GROUP BY cid
 EXTRA_QUERIES["doc_clusters"] = (q_doc_clusters, _doc_clusters_sql())
 
 
+EXPORT_SALT_SPAN = 1024
+
+
 def q_conversation_export(spark, sf_dir):
     """Conversation export — the training-example serialization shape:
     one row per conversation with its FULL ordered event log packed
@@ -3139,25 +3142,24 @@ def q_conversation_export(spark, sf_dir):
     turns cost O(turns) + one keyed exchange. array_sort on
     struct(event_id, ...) orders by the unique event_id, so the packed
     string is deterministic and the DuckDB oracle (string_agg ORDER BY
-    event_id) reproduces it byte-for-byte."""
+    event_id) reproduces it byte-for-byte. Round 6: runs the salted
+    two-phase path (functions/sft.py:export_conversations) so one
+    pathologically hot conversation spreads its render across
+    n_turns/EXPORT_SALT_SPAN tasks — byte-identical output, pinned by
+    tests/test_salted_export.py."""
+    from aktuell_spark.functions.sft import export_conversations
+
     ev = load(spark, sf_dir, "events")
-    packed = ev.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
-        F.min("event_id").alias("first_event_id"),
-        F.max("event_id").alias("last_event_id"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
-                lambda x: F.concat_ws(
-                    "@", x["event_type"], x["event_id"].cast("string")
-                ),
-            ),
-            "|",
-        ).alias("event_log"),
+    seg = F.concat_ws("@", F.col("event_type"), F.col("event_id").cast("string"))
+    packed = export_conversations(
+        ev, seg, conv_col="user_id", order_col="event_id", sep="|",
+        salt_span=EXPORT_SALT_SPAN,
     )
     return packed.select(
-        F.col("user_id").alias("conv_id"), "n_events", "first_event_id",
-        "last_event_id", "event_log",
+        F.col("user_id").alias("conv_id"), "n_events",
+        F.col("first_o").alias("first_event_id"),
+        F.col("last_o").alias("last_event_id"),
+        F.col("log").alias("event_log"),
     )
 
 
@@ -3752,3 +3754,323 @@ WHERE NOT EXISTS (
 
 
 EXTRA_QUERIES["changes_cow"] = (q_changes_cow, SQL_CHANGES_COW)
+
+
+def q_ann_incremental(spark, sf_dir):
+    """ANN over a STREAM-MAINTAINED index (streaming/ann_index.py —
+    round-6 task: the LSH index kept live by the CDC stream instead of
+    batch-built per query): the embeddings table is replayed as a
+    vector-event feed through the exactly-once vec_id-keyed index sink
+    (cells assigned in-stream), then the top-3 in-cell join runs
+    against the MATERIALIZED index. Oracle = the batch knn_lsh SQL
+    verbatim: a stream-built index must answer identically to a
+    batch-built one, and any defect in feed slicing, the index merge,
+    or cell assignment turns the row red."""
+    import os
+    import tempfile
+
+    from aktuell_spark.streaming.ann_index import (
+        knn_from_index,
+        run_ann_index_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="aktuell_ann_idx_")
+    feed = os.path.join(base, "feed")
+    emb = load(spark, sf_dir, "embeddings")
+    (
+        emb.select(
+            "vec_id", "embedding",
+            F.lit("insert").alias("op"),
+            F.col("vec_id").cast("long").alias("seq"),
+        )
+        .write.parquet(feed)
+    )
+    _, table = run_ann_index_stream(
+        spark, feed, os.path.join(base, "table"), os.path.join(base, "ckpt"),
+        n_planes=ANN_PLANES_AT_TEST_SF, n_buckets=8,
+        max_files_per_trigger=1,
+    )
+    return knn_from_index(table, k=3, max_bucket_size=ANN_MAX_BUCKET)
+
+
+EXTRA_QUERIES["ann_incremental"] = (q_ann_incremental, SQL_KNN_LSH)
+
+
+# ----------------------------------------------------------------------
+# round 6: retrieval + semantic dedup + corpus-LM perplexity
+# ----------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "vector", "merge")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 50
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-k retrieval over the documents table (Robertson/Lucene
+    idf: ln(1 + (N - df + .5)/(df + .5))) for a fixed query-term set —
+    the text-retrieval stage of a curation pipeline (find documents
+    about X to up/down-sample). Scale shape: per-doc tf/dl are narrow
+    higher-order-function maps (zero shuffle); N/avgdl/df fold into ONE
+    1-row aggregate broadcast back; top-k is TakeOrderedAndProject
+    (never a global sort); the rank window runs over <= k rows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", toks.alias("t")).withColumn(
+        "dl", F.size("t").cast("double")
+    )
+    def _tf(term):
+        # one-arg lambda on purpose: a second (defaulted) parameter
+        # would make pyspark bind the higher-order (element, index) form
+        return F.size(F.filter("t", lambda x: x == F.lit(term)))
+
+    tf = [
+        _tf(term).cast("double").alias(f"tf{i}")
+        for i, term in enumerate(BM25_TERMS)
+    ]
+    d = d.select("doc_id", "dl", *tf)
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    j = d.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        norm = F.col(f"tf{i}") + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        score = score + idf * F.col(f"tf{i}") * (BM25_K1 + 1.0) / norm
+    scored = j.select("doc_id", score.alias("s")).filter(F.col("s") > 0)
+    topk = scored.orderBy(F.col("s").desc(), F.col("doc_id").asc()).limit(
+        BM25_TOPK
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("s", 6).alias("score"),
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    return f"""
+WITH q(term) AS (VALUES {terms}),
+d AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT d.doc_id, d.dl, q.term,
+         CAST(len(list_filter(d.t, x -> x = q.term)) AS DOUBLE) AS tf
+  FROM d CROSS JOIN q
+),
+df AS (SELECT term, CAST(count(*) FILTER (tf > 0) AS DOUBLE) AS df
+       FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1.0)
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+         ) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank,
+       round(s, 6) AS score
+FROM scored WHERE s > 0
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+EXTRA_QUERIES["bm25_search"] = (q_bm25_search, _bm25_sql())
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.35
+SEMDEDUP_CAP = 256
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape, public
+    method): assign every embedding to its nearest of K deterministic
+    seed centroids (the K lowest vec_ids — reproducible cross-engine,
+    the stand-in for sampled k-means centroids the way trained-IVF
+    already demonstrates), then WITHIN each cluster mark any vector
+    whose cosine to a lower-id member reaches tau as a semantic
+    duplicate. Scale shape: assignment is an N x K broadcast join
+    (IVF-assign class); the dup test joins only within clusters with
+    the same deterministic per-cluster candidate cap as the ANN
+    family — never corpus-wide all-pairs."""
+    from aktuell_spark.functions.similarity import cosine6
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    sims = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cent_id",
+        cosine6(F.col("embedding"), F.col("cvec")).alias("csim"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        sims.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cluster"))
+    )
+    wc = Window.partitionBy("cluster").orderBy(F.col("vec_id").asc())
+    cand = (
+        assigned.withColumn("rib", F.row_number().over(wc))
+        .filter(F.col("rib") <= SEMDEDUP_CAP)
+        .select(
+            F.col("cluster").alias("c2"),
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("cand_vec"),
+        )
+    )
+    dup = (
+        assigned.join(
+            cand,
+            (F.col("cluster") == F.col("c2"))
+            & (F.col("cand_id") < F.col("vec_id")),
+        )
+        .filter(
+            cosine6(F.col("embedding"), F.col("cand_vec")) >= SEMDEDUP_TAU
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup, "vec_id", "left")
+        .select(
+            "vec_id", "cluster",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def _semdedup_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM e
+         WHERE vec_id < {SEMDEDUP_K}),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.cvec::DOUBLE[]), 6) AS csim
+  FROM e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cent_id ASC) AS rn
+    FROM sims) WHERE rn = 1
+),
+cand AS (
+  SELECT cluster AS c2, vec_id AS cand_id, embedding AS cand_vec FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster
+                                 ORDER BY vec_id ASC) AS rib
+    FROM assigned) WHERE rib <= {SEMDEDUP_CAP}
+)
+SELECT a.vec_id, a.cluster,
+       EXISTS (
+         SELECT 1 FROM cand c
+         WHERE c.c2 = a.cluster AND c.cand_id < a.vec_id
+           AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            c.cand_vec::DOUBLE[]), 6)
+               >= {SEMDEDUP_TAU}
+       ) AS is_dup
+FROM assigned a
+"""
+
+
+EXTRA_QUERIES["semdedup"] = (q_semdedup, _semdedup_sql())
+
+
+LM_ALPHA = 0.5
+
+
+def q_perplexity_lm(spark, sf_dir):
+    """Corpus-LM perplexity filtering (the CCNet/KenLM stage, public
+    method): a word-bigram language model with add-alpha smoothing is
+    trained ON THE CORPUS ITSELF — two map-side-combinable groupBys
+    (bigram counts, unigram context counts) plus one 1-row vocab count
+    — and every document is scored by its bigrams' mean negative log
+    probability; perplexity = exp of that. High-perplexity docs are the
+    out-of-distribution/gibberish candidates a curation pass drops.
+    Scale shape: ONE explode of adjacent-token pairs (narrow), model
+    counts shuffle on bigram/unigram keys (map-side combined), scoring
+    re-joins the exploded bigrams to the model on the same keys, and
+    the per-doc fold is a keyed avg. No driver-side model: the LM
+    lives in DataFrames end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bg.agg(
+        F.countDistinct("w2").cast("double").alias("v")
+    )
+    p = (
+        bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + F.lit(LM_ALPHA))
+                / (F.col("c1") + F.lit(LM_ALPHA) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
+    )
+
+
+SQL_PERPLEXITY_LM = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM d, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+vocab AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bg)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-avg(ln((c12.c12 + {LM_ALPHA})
+                         / (c1.c1 + {LM_ALPHA} * vocab.v)))), 4)
+         AS perplexity
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+GROUP BY bg.doc_id
+"""
+
+
+EXTRA_QUERIES["perplexity_lm"] = (q_perplexity_lm, SQL_PERPLEXITY_LM)
