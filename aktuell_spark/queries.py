@@ -2879,12 +2879,9 @@ FROM range({MEDIA_META_N}) t(i)
 
 
 # ----------------------------------------------------------------------
-# Final registry: exactly DRIVER_WINDOW entries, previously-ungraded
-# queries FIRST. ``__spark_entry__`` inserts the three stream_cdc_*
-# rows-only entries after the head block (STREAM_INSERT_AFTER), keeping
-# the total at 50. Rotated-out standalone queries live in
-# EXTRA_QUERIES — still importable, still benched, still covered by
-# tools/check_oracle.py --extra.
+# Merged-family + oracle-upgrade registrations. The final window
+# selection (head/tail rotation) happens at the BOTTOM of this module,
+# after every query is defined — see "Final registry" there.
 # ----------------------------------------------------------------------
 
 QUERIES.update(
@@ -2901,39 +2898,7 @@ QUERIES["media_meta"] = (q_media_meta_checked, _media_meta_checked_sql())
 
 DRIVER_WINDOW = 50
 
-# head: every query the r4 driver window missed (VERDICT r4 #1), graded
-# first so a future window shrink still covers them
-_HEAD = (
-    "deterministic_sample", "cep_funnel", "scd2_history",
-    "winnow_fingerprints", "winnow_pairs", "gopher_repetition",
-    "decontaminate", "ann_quantized", "dedup_clusters",
-    "stratified_sample", "pack_sequences", "tfidf_top_terms",
-    "dedup_corpus", "interval_join", "turn_tool_join_native",
-    "funnel_rate", "top_paths", "cohort_retention", "curate_corpus",
-)
-# __spark_entry__ inserts stream_cdc_materialize / _mor / _mor_partial
-# here (3 entries)
-STREAM_INSERT_AFTER = _HEAD[-1]
-
-_TAIL = (
-    "subscription_filter", "json_projection", "snapshot_scan",
-    "count_filtered", "postimage_enrich", "cdc_latest_image", "op_counts",
-    "partial_update_materialize", "drop_mid_feed",
-    "multi_subscription_routing", "residual_projection", "rename_routing",
-    "snapshot_batches", "windows_rollup", "session_window", "topk_recent",
-    "textops_profile", "dedup_pairs_all", "knn_methods", "salted_agg",
-    "value_percentiles", "hll_distinct", "rollup_report", "pivot_counts",
-    "stateful_turn_tool_join", "multimodal_features", "media_meta",
-    "asof_join",
-)
-
-assert len(_HEAD) + 3 + len(_TAIL) == DRIVER_WINDOW, (len(_HEAD), len(_TAIL))
-assert not (set(_HEAD) & set(_TAIL))
-
-EXTRA_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    k: v for k, v in QUERIES.items() if k not in (*_HEAD, *_TAIL)
-}
-QUERIES = {name: QUERIES[name] for name in (*_HEAD, *_TAIL)}
+EXTRA_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
 def q_media_content(spark, sf_dir):
@@ -3224,8 +3189,8 @@ WITH conv AS (
 SELECT CAST(('0x' || substr(md5(conv_id::VARCHAR), 1, 8))::UBIGINT
             % {N_EXPORT_SHARDS} AS INTEGER) AS shard,
        count(*) AS n_convs,
-       sum(n_events) AS n_events,
-       sum(length(event_log)) AS total_chars,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(length(event_log)) AS BIGINT) AS total_chars,
        CAST(sum(('0x' || substr(md5(event_log), 1, 8))::UBIGINT) AS BIGINT)
          AS content_hash
 FROM conv GROUP BY 1
@@ -4074,3 +4039,65 @@ GROUP BY bg.doc_id
 
 
 EXTRA_QUERIES["perplexity_lm"] = (q_perplexity_lm, SQL_PERPLEXITY_LM)
+
+
+# ----------------------------------------------------------------------
+# Final registry: exactly DRIVER_WINDOW entries. ROTATION POLICY
+# (VERDICT r5 "Next round" #1): each round the head block holds ONLY
+# queries that have never had a driver correctness row — round 6 swaps
+# the 19 now-driver-proven r5 head queries out for the 12 extras the r5
+# window could not fit plus the 6 new round-6 operators; everything
+# rotated out stays importable, benched, and green under
+# tools/check_oracle.py --extra. tests/test_registry_window.py pins the
+# policy (small r5∩r6 head overlap, never-graded head, exact fit).
+# ``__spark_entry__`` inserts the three stream_cdc_* rows-only entries
+# after the head block (STREAM_INSERT_AFTER), keeping the total at 50.
+# ----------------------------------------------------------------------
+
+# the r5 head (all driver-proven in CORRECTNESS_r05) — kept for the
+# rotation-policy pin
+PREV_ROUND_HEAD = (
+    "deterministic_sample", "cep_funnel", "scd2_history",
+    "winnow_fingerprints", "winnow_pairs", "gopher_repetition",
+    "decontaminate", "ann_quantized", "dedup_clusters",
+    "stratified_sample", "pack_sequences", "tfidf_top_terms",
+    "dedup_corpus", "interval_join", "turn_tool_join_native",
+    "funnel_rate", "top_paths", "cohort_retention", "curate_corpus",
+)
+
+# head: 18 queries that have NEVER had a driver row — the 12 r5 extras
+# (media/stream/sft/mix family) + the 6 new round-6 operators
+_HEAD = (
+    "media_pixels", "media_content", "stream_curate", "doc_clusters",
+    "conversation_export", "export_shards", "sft_spans",
+    "packed_sft_spans", "preference_pairs", "curriculum_order",
+    "token_budget_mix", "leakage_split",
+    "dedup_clusters_star", "changes_cow", "ann_incremental",
+    "bm25_search", "semdedup", "perplexity_lm",
+)
+# __spark_entry__ inserts stream_cdc_materialize / _mor / _mor_partial
+# here (3 entries)
+STREAM_INSERT_AFTER = _HEAD[-1]
+
+# tail: the 28 core §2 rows retained from the r5 window (they map 1:1
+# to SURVEY §2 operators) + the flagship curate_corpus composition
+_TAIL = (
+    "subscription_filter", "json_projection", "snapshot_scan",
+    "count_filtered", "postimage_enrich", "cdc_latest_image", "op_counts",
+    "partial_update_materialize", "drop_mid_feed",
+    "multi_subscription_routing", "residual_projection", "rename_routing",
+    "snapshot_batches", "windows_rollup", "session_window", "topk_recent",
+    "textops_profile", "dedup_pairs_all", "knn_methods", "salted_agg",
+    "value_percentiles", "hll_distinct", "rollup_report", "pivot_counts",
+    "stateful_turn_tool_join", "multimodal_features", "media_meta",
+    "asof_join", "curate_corpus",
+)
+
+assert len(_HEAD) + 3 + len(_TAIL) == DRIVER_WINDOW, (len(_HEAD), len(_TAIL))
+assert not (set(_HEAD) & set(_TAIL))
+
+_ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+QUERIES = {name: _ALL_QUERIES[name] for name in (*_HEAD, *_TAIL)}
+EXTRA_QUERIES = {
+    k: v for k, v in _ALL_QUERIES.items() if k not in QUERIES
+}

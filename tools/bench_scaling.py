@@ -189,7 +189,13 @@ def main() -> None:
     w.add_argument("--enrich", action="store_true")
     w.add_argument("--mor", action="store_true")
     w.add_argument("--stage", default="pipeline", choices=["pipeline", "merge"])
-    ap.add_argument("--convs", type=int, default=50_000)
+    # round 6: 100k convs (~37M events) — the per-run trigger constant
+    # (~4-5 s: query startup, first getBatch listing, planning, WAL) is
+    # size-independent, so ONE LARGER TRIGGER amortizes it and the raw
+    # end-to-end 2->8 pair converges toward the merge-stage number
+    # (VERDICT r5 task #5, "amortize it: one larger trigger at bench
+    # scale"). The envelope pass still measures the constant per run.
+    ap.add_argument("--convs", type=int, default=100_000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out", default="BENCH.md")
     args, _ = ap.parse_known_args()
