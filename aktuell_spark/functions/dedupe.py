@@ -174,32 +174,12 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.2,
-    num_perm: int = NUM_PERM,
-    num_bands: int = NUM_BANDS,
-) -> DataFrame:
-    """MinHash-LSH candidate pairs, verified with exact Jaccard.
-
-    Banding: ``num_bands`` bands of ``num_perm/num_bands`` rows;
-    candidates share at least one full band (equi-join on band key — the
-    scale path: join fan-out is bounded by bucket sizes, not N²).
-    Output: (doc_a, doc_b, jaccard) — the verified subset. The defaults
-    are graded-corpus-sized; real recall targets at a given threshold
-    pick (num_perm, num_bands) from the standard S-curve
-    1-(1-t^r)^b — e.g. 128/32 for t≈0.5.
-    """
-    assert num_perm % num_bands == 0, (num_perm, num_bands)
+def band_table(sigs: DataFrame, num_perm: int, num_bands: int) -> DataFrame:
+    """Explode minhash signatures into LSH band rows: (doc_id,
+    band_idx, band_key) — band_key is the comma-joined signature slice.
+    Shared by the batch pair join and the stream-maintained dedup index
+    (streaming/dedup_index.py)."""
     rows_per_band = num_perm // num_bands
-    # persist: the band table feeds a self-join (two scans) and the
-    # signature DAG is expensive to recompute — at warehouse scale this
-    # is a materialized signatures table, refreshed incrementally.
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm=num_perm).persist()
-    # band keys: slice the signature per band, stringify
     band_structs = []
     for b in range(num_bands):
         parts = [
@@ -207,32 +187,46 @@ def minhash_lsh_pairs(
             for r in range(rows_per_band)
         ]
         band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), F.concat_ws(",", *[p.cast("string") for p in parts]).alias("band_key"))
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ",", *[p.cast("string") for p in parts]
+                ).alias("band_key"),
+            )
         )
-    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_key").alias("band_key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # verify with exact Jaccard computed ONLY over candidate documents:
-    # semi-join the shingle postings down to candidate docs first, so the
-    # expensive pair aggregation scales with |candidates|, not N².
-    cand = cand.persist()
+
+
+def verify_jaccard(
+    cand: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    persist: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard over an explicit candidate pair list —
+    postings semi-joined down to candidate docs first, so cost scales
+    with |candidates|. Shared by minhash_lsh_pairs and the streaming
+    dedup index probe (which passes ``persist=False``: per-epoch pins
+    would accumulate across a stream's lifetime)."""
+    if persist:
+        cand = cand.persist()
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingles(df, id_col, text_col, n).persist()
+    sh = shingles(docs, id_col, text_col, n)
+    if persist:
+        sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
     sa_, sb_ = sh_c.alias("a"), sh_c.alias("b")
@@ -253,11 +247,55 @@ def minhash_lsh_pairs(
         .join(szb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard.
+
+    Banding: ``num_bands`` bands of ``num_perm/num_bands`` rows;
+    candidates share at least one full band (equi-join on band key — the
+    scale path: join fan-out is bounded by bucket sizes, not N²).
+    Output: (doc_a, doc_b, jaccard) — the verified subset. The defaults
+    are graded-corpus-sized; real recall targets at a given threshold
+    pick (num_perm, num_bands) from the standard S-curve
+    1-(1-t^r)^b — e.g. 128/32 for t≈0.5.
+    """
+    assert num_perm % num_bands == 0, (num_perm, num_bands)
+    # persist: the band table feeds a self-join (two scans) and the
+    # signature DAG is expensive to recompute — at warehouse scale this
+    # is a materialized signatures table, refreshed incrementally (the
+    # streaming form of that refresh is streaming/dedup_index.py).
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm=num_perm).persist()
+    bands = band_table(sigs, num_perm, num_bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify with exact Jaccard computed ONLY over candidate documents
+    return verify_jaccard(cand, df, id_col, text_col, n, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:

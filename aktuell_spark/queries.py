@@ -4041,6 +4041,42 @@ GROUP BY bg.doc_id
 EXTRA_QUERIES["perplexity_lm"] = (q_perplexity_lm, SQL_PERPLEXITY_LM)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Near-dup pairs from the STREAM-MAINTAINED MinHash-LSH index
+    (streaming/dedup_index.py): the documents table is replayed as a
+    two-generation feed through the exactly-once band/docs/pairs
+    tables — each micro-batch is banded in-stream and probed against
+    the standing index (one band-key equi-join, |batch|-proportional),
+    verified with the shared exact-Jaccard stage. Every near-dup pair
+    has a later-arriving member, so the stream discovers exactly the
+    batch sweep's pairs; oracle = the batch MinHash SQL verbatim. A
+    defect anywhere in feed slicing, the index merge, the probe join,
+    or the verification turns the row red."""
+    import os
+    import tempfile
+
+    from aktuell_spark.streaming.dedup_index import run_dedup_index_stream
+
+    base = tempfile.mkdtemp(prefix="aktuell_dedup_idx_")
+    feed = os.path.join(base, "feed")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("doc_id").cast("long").alias("seq")
+    )
+    for parity in (0, 1):
+        (
+            docs.filter(F.col("doc_id") % 2 == parity)
+            .coalesce(1).write.mode("append").parquet(feed)
+        )
+    _, index = run_dedup_index_stream(
+        spark, feed, os.path.join(base, "idx"), os.path.join(base, "ckpt"),
+        threshold=0.2, n_buckets=8, max_files_per_trigger=1,
+    )
+    return index.found_pairs()
+
+
+QUERIES["dedup_incremental"] = (q_dedup_incremental, _minhash_lsh_sql())
+
+
 # ----------------------------------------------------------------------
 # Final registry: exactly DRIVER_WINDOW entries. ROTATION POLICY
 # (VERDICT r5 "Next round" #1): each round the head block holds ONLY
@@ -4073,7 +4109,7 @@ _HEAD = (
     "packed_sft_spans", "preference_pairs", "curriculum_order",
     "token_budget_mix", "leakage_split",
     "dedup_clusters_star", "changes_cow", "ann_incremental",
-    "bm25_search", "semdedup", "perplexity_lm",
+    "bm25_search", "semdedup", "perplexity_lm", "dedup_incremental",
 )
 # __spark_entry__ inserts stream_cdc_materialize / _mor / _mor_partial
 # here (3 entries)
@@ -4088,10 +4124,13 @@ _TAIL = (
     "multi_subscription_routing", "residual_projection", "rename_routing",
     "snapshot_batches", "windows_rollup", "session_window", "topk_recent",
     "textops_profile", "dedup_pairs_all", "knn_methods", "salted_agg",
-    "value_percentiles", "hll_distinct", "rollup_report", "pivot_counts",
+    "value_percentiles", "hll_distinct", "rollup_report",
     "stateful_turn_tool_join", "multimodal_features", "media_meta",
     "asof_join", "curate_corpus",
 )
+# pivot_counts rotates out this round to make room for
+# dedup_incremental in the head (graded green rounds 1-5; stays
+# oracle-covered in EXTRA_QUERIES)
 
 assert len(_HEAD) + 3 + len(_TAIL) == DRIVER_WINDOW, (len(_HEAD), len(_TAIL))
 assert not (set(_HEAD) & set(_TAIL))
