@@ -54,6 +54,19 @@ def connected_components(
     """
     if algorithm == "star":
         return _star_components(pairs, src, dst, max_rounds)
+    if algorithm == "auto":
+        # production default shape: hash-min with a SHALLOW budget (dup
+        # graphs close in diameter rounds, almost always < 8), falling
+        # back to the O(log n) star rounds when the graph turns out
+        # high-diameter. The failed hash-min rounds cost one shuffle
+        # each — bounded by the small budget, not max_rounds.
+        try:
+            return connected_components(
+                pairs, src, dst, max_rounds=min(8, max_rounds),
+                algorithm="hashmin",
+            )
+        except RuntimeError:
+            return _star_components(pairs, src, dst, max_rounds)
     if algorithm != "hashmin":
         raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = (

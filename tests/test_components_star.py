@@ -79,3 +79,23 @@ def test_star_rejects_unknown_algorithm(spark):
     df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(df, algorithm="bfs")
+
+
+def test_auto_falls_back_to_star_on_deep_graphs(spark):
+    """algorithm="auto": shallow graphs take the cheap hash-min path;
+    a deep chain exhausts the shallow budget and silently switches to
+    the star rounds instead of raising."""
+    shallow = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    assert _labels(connected_components(shallow, algorithm="auto")) == [
+        (1, 1), (2, 1), (3, 1), (7, 7), (9, 7),
+    ]
+    n = 64  # diameter 64 > the auto path's 8-round hash-min budget
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    out = connected_components(chain, algorithm="auto", max_rounds=30)
+    rows = out.collect()
+    assert len(rows) == n + 1
+    assert {r["cluster_id"] for r in rows} == {0}
