@@ -4077,6 +4077,50 @@ def q_dedup_incremental(spark, sf_dir):
 QUERIES["dedup_incremental"] = (q_dedup_incremental, _minhash_lsh_sql())
 
 
+def q_cluster_incremental(spark, sf_dir):
+    """Near-dup clusters from the STREAM-MAINTAINED component index
+    (streaming/cluster_index.py — pair stream → live cluster table,
+    never re-clustering the corpus): the exact-Jaccard pair graph is
+    replayed as a two-generation feed; each micro-batch compresses the
+    standing clusters it touches to star edges and runs bounded-
+    subgraph connected components. The final table must equal batch CC
+    over ALL pairs — oracle = dedup_clusters' recursive-SQL oracle
+    verbatim (cluster sizes joined on read)."""
+    import os
+    import tempfile
+
+    from aktuell_spark.functions.dedupe import ngram_jaccard_pairs
+    from aktuell_spark.streaming.cluster_index import run_cluster_index_stream
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.2, max_df=NEAR_DUP_MAX_DF
+    ).withColumn(
+        "seq", (F.col("doc_a") * 100_000 + F.col("doc_b")).cast("long")
+    ).select("doc_a", "doc_b", "seq")
+    base = tempfile.mkdtemp(prefix="aktuell_cluster_idx_")
+    feed = os.path.join(base, "feed")
+    for parity in (0, 1):
+        (
+            pairs.filter(F.col("doc_a") % 2 == parity)
+            .coalesce(1).write.mode("append").parquet(feed)
+        )
+    _, index = run_cluster_index_stream(
+        spark, feed, os.path.join(base, "idx"), os.path.join(base, "ckpt"),
+        n_buckets=8, max_files_per_trigger=1,
+    )
+    comp = index.read()
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        F.col("vertex").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+QUERIES["cluster_incremental"] = (q_cluster_incremental, _dedup_clusters_sql())
+
+
 # ----------------------------------------------------------------------
 # Final registry: exactly DRIVER_WINDOW entries. ROTATION POLICY
 # (VERDICT r5 "Next round" #1): each round the head block holds ONLY
@@ -4110,6 +4154,7 @@ _HEAD = (
     "token_budget_mix", "leakage_split",
     "dedup_clusters_star", "changes_cow", "ann_incremental",
     "bm25_search", "semdedup", "perplexity_lm", "dedup_incremental",
+    "cluster_incremental",
 )
 # __spark_entry__ inserts stream_cdc_materialize / _mor / _mor_partial
 # here (3 entries)
@@ -4124,13 +4169,13 @@ _TAIL = (
     "multi_subscription_routing", "residual_projection", "rename_routing",
     "snapshot_batches", "windows_rollup", "session_window", "topk_recent",
     "textops_profile", "dedup_pairs_all", "knn_methods", "salted_agg",
-    "value_percentiles", "hll_distinct", "rollup_report",
+    "value_percentiles", "hll_distinct",
     "stateful_turn_tool_join", "multimodal_features", "media_meta",
     "asof_join", "curate_corpus",
 )
-# pivot_counts rotates out this round to make room for
-# dedup_incremental in the head (graded green rounds 1-5; stays
-# oracle-covered in EXTRA_QUERIES)
+# pivot_counts and rollup_report rotate out this round to make room
+# for dedup_incremental and cluster_incremental in the head (both
+# graded green rounds 1-5; stay oracle-covered in EXTRA_QUERIES)
 
 assert len(_HEAD) + 3 + len(_TAIL) == DRIVER_WINDOW, (len(_HEAD), len(_TAIL))
 assert not (set(_HEAD) & set(_TAIL))
