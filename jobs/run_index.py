@@ -1,0 +1,107 @@
+"""spark-submit entry point for the stream-maintained indexes.
+
+Cluster deployment (north rule):
+
+    python tools/make_pyfiles.py                       # build dist zip
+    spark-submit --py-files dist/aktuell_spark.zip \\
+        jobs/run_index.py --kind ann \\
+        --feed  s3://bucket/vector_events/ \\
+        --root  s3://bucket/ann_index/ \\
+        --checkpoint s3://bucket/ckpt/ann/ \\
+        [--continuous]
+
+``--kind`` picks the index family:
+
+- ``ann``      — LSH vector index maintained by insert/update/delete
+  vector events (streaming/ann_index.py); feed columns
+  (vec_id, embedding, op, seq).
+- ``dedup``    — MinHash band index + verified near-dup pairs
+  (streaming/dedup_index.py); feed columns (doc_id, text, seq).
+- ``clusters`` — live connected-components table over a near-dup pair
+  stream (streaming/cluster_index.py); feed columns
+  (doc_a, doc_b, seq).
+
+All three share the engine's lifecycle contract: availableNow bounded
+replay by default (``--continuous`` tails with a processingTime
+trigger), restart from the same checkpoint is a no-op, every epoch
+commit is idempotent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kind", required=True,
+                    choices=["ann", "dedup", "clusters"])
+    ap.add_argument("--feed", required=True)
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--continuous", action="store_true")
+    # ann knobs
+    ap.add_argument("--n-planes", type=int, default=8)
+    # dedup knobs
+    ap.add_argument("--threshold", type=float, default=0.2)
+    ap.add_argument("--ngram", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(
+        f"aktuell_{args.kind}_index"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    trigger = {"processingTime": "10 seconds"} if args.continuous else None
+    common = dict(
+        n_buckets=args.n_buckets,
+        max_files_per_trigger=args.max_files_per_trigger,
+        await_termination=not args.continuous,
+        trigger=trigger,
+    )
+    if args.kind == "ann":
+        from aktuell_spark.streaming.ann_index import run_ann_index_stream
+
+        query, table = run_ann_index_stream(
+            spark, args.feed, args.root, args.checkpoint,
+            n_planes=args.n_planes, **common,
+        )
+        if args.continuous:
+            query.awaitTermination()
+        print(json.dumps({"kind": "ann", "rows": table.read().count()}))
+    elif args.kind == "dedup":
+        from aktuell_spark.streaming.dedup_index import run_dedup_index_stream
+
+        query, index = run_dedup_index_stream(
+            spark, args.feed, args.root, args.checkpoint,
+            n=args.ngram, threshold=args.threshold, **common,
+        )
+        if args.continuous:
+            query.awaitTermination()
+        print(json.dumps({
+            "kind": "dedup",
+            "docs": index.docs.read().count(),
+            "pairs": index.found_pairs().count(),
+        }))
+    else:
+        from aktuell_spark.streaming.cluster_index import (
+            run_cluster_index_stream,
+        )
+
+        query, index = run_cluster_index_stream(
+            spark, args.feed, args.root, args.checkpoint, **common,
+        )
+        if args.continuous:
+            query.awaitTermination()
+        print(json.dumps({
+            "kind": "clusters", "vertices": index.read().count(),
+        }))
+
+
+if __name__ == "__main__":
+    main()
