@@ -211,24 +211,34 @@ def verify_jaccard(
     n: int = 3,
     threshold: float = 0.2,
     persist: bool = True,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an explicit candidate pair list —
-    postings semi-joined down to candidate docs first, so cost scales
-    with |candidates|. Shared by minhash_lsh_pairs and the streaming
-    dedup index probe (which passes ``persist=False``: per-epoch pins
-    would accumulate across a stream's lifetime)."""
+    the corpus is semi-joined down to candidate docs BEFORE the shingle
+    explode, so the whole stage (explode, size aggregate, intersection
+    join) scales with |candidate docs|, never |corpus|. A doc's shingle
+    multiset needs only its own text, so restricting to candidates is
+    exact. Shared by minhash_lsh_pairs and the streaming dedup index
+    probe (which passes ``persist=False``: per-epoch pins would
+    accumulate across a stream's lifetime, and supplies ``sizes`` from
+    the n_sh column persisted at ingest so standing docs are never
+    re-aggregated).
+
+    ``sizes``: optional (doc_id, n_sh) — per-doc distinct-shingle
+    counts; computed from the candidate shingles when absent."""
     if persist:
         cand = cand.persist()
     cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = shingles(docs, id_col, text_col, n)
+    docs_c = docs.join(F.broadcast(cand_docs), id_col, "left_semi")
+    sh_c = shingles(docs_c, id_col, text_col, n)
     if persist:
-        sh = sh.persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+        sh_c = sh_c.persist()
+    if sizes is None:
+        sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa_, sb_ = sh_c.alias("a"), sh_c.alias("b")
     common = (
         sa_.join(

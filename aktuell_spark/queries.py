@@ -4093,11 +4093,13 @@ def q_cluster_incremental(spark, sf_dir):
     from aktuell_spark.streaming.cluster_index import run_cluster_index_stream
 
     docs = load(spark, sf_dir, "documents")
+    # localCheckpoint: the pair job is the expensive upstream and feeds
+    # TWO parity-sliced feed writes — materialize it once, not per write
     pairs = ngram_jaccard_pairs(
         docs, threshold=0.2, max_df=NEAR_DUP_MAX_DF
     ).withColumn(
         "seq", (F.col("doc_a") * 100_000 + F.col("doc_b")).cast("long")
-    ).select("doc_a", "doc_b", "seq")
+    ).select("doc_a", "doc_b", "seq").localCheckpoint()
     base = tempfile.mkdtemp(prefix="aktuell_cluster_idx_")
     feed = os.path.join(base, "feed")
     for parity in (0, 1):

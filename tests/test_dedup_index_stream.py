@@ -72,3 +72,101 @@ def test_restart_is_noop_and_late_dup_found(spark, docs, tmp_path):
     )
     want = _pairs(minhash_lsh_pairs(docs, threshold=0.2))
     assert _pairs(index.found_pairs()) == want
+
+
+def _write_gen(spark, rows, feed):
+    (
+        spark.createDataFrame(rows, "doc_id long, text string, seq long")
+        .coalesce(1).write.mode("append").parquet(feed)
+    )
+
+
+def test_changed_text_redelivery_retracts_stale_pairs(spark, tmp_path):
+    """A doc redelivered with CHANGED text must (a) drop pairs its old
+    text justified, (b) gain pairs its new text justifies, so the index
+    equals the batch sweep on the LATEST corpus — the update contract
+    (bands LWW + latest-text-by-seq corpus + tombstone retraction)."""
+    base = str(tmp_path)
+    ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tb = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    tc = "one two three four five six seven eight nine ten"
+    td = "one two three four five six seven eight nine eleven"
+    gen1 = [(1, ta, 1), (2, tb, 2), (3, tc, 3), (4, td, 4)]
+    _write_gen(spark, gen1, f"{base}/feed")
+    _, index = run_dedup_index_stream(
+        spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt",
+        threshold=0.2, n_buckets=8,
+    )
+    before = {(a, b) for a, b, _ in index.found_pairs().collect()}
+    assert (1, 2) in before and (3, 4) in before
+
+    # doc 2's text changes family: exact dup of D now (guaranteed band
+    # collision — no LSH luck), near-dup of C, unrelated to A
+    te = td
+    _write_gen(spark, [(2, te, 5)], f"{base}/feed")
+    _, index = run_dedup_index_stream(
+        spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt",
+        threshold=0.2, n_buckets=8,
+    )
+    latest = spark.createDataFrame(
+        [(1, ta), (2, te), (3, tc), (4, td)], "doc_id long, text string"
+    )
+    want = _pairs(minhash_lsh_pairs(latest, threshold=0.2))
+    assert {(a, b) for a, b, _ in want} >= {(2, 3), (2, 4)}
+    assert (1, 2) not in {(a, b) for a, b, _ in want}  # guard vacuity
+    assert _pairs(index.found_pairs()) == want
+
+    # idempotent-content redelivery: same text again (new seq) is a
+    # no-op on the pair set
+    _write_gen(spark, [(3, tc, 6)], f"{base}/feed")
+    _, index = run_dedup_index_stream(
+        spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt",
+        threshold=0.2, n_buckets=8,
+    )
+    assert _pairs(index.found_pairs()) == want
+
+
+def test_epoch_cost_is_candidate_bounded(spark, tmp_path, monkeypatch):
+    """A small batch arriving against a LARGE standing corpus must not
+    shingle-scan the corpus: every input to the shared shingle stage
+    during the epoch is bounded by |batch| + |candidate docs|, not
+    |standing docs| — the incremental-index contract (epoch cost flat
+    as the corpus grows). Deterministic spy, no timing."""
+    import aktuell_spark.functions.dedupe as dedupe_mod
+
+    base = str(tmp_path)
+    n_standing = 300
+    gen1 = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f", i)
+        for i in range(10, 10 + n_standing)
+    ]
+    _write_gen(spark, gen1, f"{base}/feed")
+    run_dedup_index_stream(
+        spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt",
+        threshold=0.2, n_buckets=8,
+    )
+
+    seen_sizes = []
+    real_shingles = dedupe_mod.shingles
+
+    def spy(df, *a, **kw):
+        seen_sizes.append(df.count())
+        return real_shingles(df, *a, **kw)
+
+    monkeypatch.setattr(dedupe_mod, "shingles", spy)
+    # gen2: 3 docs, two of them exact dups of each other (guaranteed
+    # band collision), none matching the standing corpus
+    t1 = "red orange yellow green blue indigo violet pink"
+    t2 = t1
+    gen2 = [(1, t1, 1001), (2, t2, 1002), (3, "misc words only here", 1003)]
+    _write_gen(spark, gen2, f"{base}/feed")
+    _, index = run_dedup_index_stream(
+        spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt",
+        threshold=0.2, n_buckets=8,
+    )
+    assert (1, 2) in {(a, b) for a, b, _ in index.found_pairs().collect()}
+    assert seen_sizes, "spy never fired; shingle stage not exercised"
+    assert max(seen_sizes) <= 10, (
+        f"shingle-stage input {max(seen_sizes)} rows — corpus-"
+        f"proportional work leaked into the epoch (standing={n_standing})"
+    )
