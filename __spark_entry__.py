@@ -96,12 +96,13 @@ def _stream_cdc_mor_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Exactly DRIVER_WINDOW (50) entries: the rotated head (round-6
-    policy: only queries that have NEVER had a driver correctness row —
-    the 12 r5 extras + the 6 new round-6 operators), then the three
-    rows-only streaming variants, then the retained core §2 tail —
-    every entry gets a driver correctness row and the rotation is
-    pinned by tests/test_registry_window.py."""
+    """Exactly DRIVER_WINDOW (50) entries: the rotated head (round-7
+    stalest-first policy: the 26 queries last graded in round 4 + the 2
+    new round-7 library operators), then the three rows-only streaming
+    variants, then a tail that re-grades the two materially-changed
+    incremental indexes and refreshes the r5-graded block — every entry
+    gets a driver correctness row and the rotation is pinned by
+    tests/test_registry_window.py."""
     from aktuell_spark.queries import STREAM_INSERT_AFTER
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

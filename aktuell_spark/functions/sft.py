@@ -194,9 +194,19 @@ def export_conversations(
             ),
             sep,
         ).alias("_part"),
+        # non-null segments in the block: the flat path's array_join
+        # skips NULL segments WITHOUT a separator, so a block that
+        # contributed zero elements must not inject one at the merge
+        # (an empty-STRING partial from real "" segments still counts)
+        F.sum(seg.isNotNull().cast("long")).alias("_nn"),
     )
     merged = F.array_sort(
-        F.collect_list(F.struct(F.col("_blk").alias("o"), F.col("_part").alias("s")))
+        F.collect_list(
+            F.when(
+                F.col("_nn") > 0,
+                F.struct(F.col("_blk").alias("o"), F.col("_part").alias("s")),
+            )
+        )
     )
     return part.groupBy(F.col(conv_col)).agg(
         F.sum("_n").alias("n_events"),

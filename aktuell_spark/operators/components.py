@@ -72,13 +72,24 @@ def connected_components(
     sym = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        # self-loops carry no connectivity; dropping them here keeps the
+        # propagation edge set identical to the star path's
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         # materialize the edge list ONCE — every round joins it, and an
         # expensive upstream pair job (LSH/Jaccard) would otherwise
         # re-run per round (measured 26 s → 8 s at sf0.1)
         .localCheckpoint()
     )
-    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    # vertex set from the UNFILTERED pairs: a vertex appearing only in
+    # self-loop pairs is still a vertex — it labels itself (singleton),
+    # identically on both algorithm paths
+    labels = (
+        pairs.select(F.col(src).alias("u"))
+        .union(pairs.select(F.col(dst).alias("u")))
+        .distinct()
+        .withColumn("label", F.col("u"))
+    )
     changed = 0
     for _ in range(max_rounds):
         nbr = (
@@ -141,7 +152,10 @@ def _star_components(
         .localCheckpoint()
     )
     vertices = (
-        edges.select("u").union(edges.select(F.col("v").alias("u")))
+        # from the UNFILTERED pairs, so a self-loop-only vertex is
+        # emitted as its own singleton — same vertex set as hash-min
+        pairs.select(F.col(src).alias("u"))
+        .union(pairs.select(F.col(dst).alias("u")))
         .distinct()
         .localCheckpoint()
     )

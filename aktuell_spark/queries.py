@@ -3877,54 +3877,15 @@ def q_semdedup(spark, sf_dir):
     (IVF-assign class); the dup test joins only within clusters with
     the same deterministic per-cluster candidate cap as the ANN
     family — never corpus-wide all-pairs."""
-    from aktuell_spark.functions.similarity import cosine6
+    from aktuell_spark.functions.semdedup import semdedup
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-    )
-    sims = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cent_id",
-        cosine6(F.col("embedding"), F.col("cvec")).alias("csim"),
-    )
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        sims.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cluster"))
-    )
-    wc = Window.partitionBy("cluster").orderBy(F.col("vec_id").asc())
-    cand = (
-        assigned.withColumn("rib", F.row_number().over(wc))
-        .filter(F.col("rib") <= SEMDEDUP_CAP)
-        .select(
-            F.col("cluster").alias("c2"),
-            F.col("vec_id").alias("cand_id"),
-            F.col("embedding").alias("cand_vec"),
-        )
-    )
-    dup = (
-        assigned.join(
-            cand,
-            (F.col("cluster") == F.col("c2"))
-            & (F.col("cand_id") < F.col("vec_id")),
-        )
-        .filter(
-            cosine6(F.col("embedding"), F.col("cand_vec")) >= SEMDEDUP_TAU
-        )
-        .select("vec_id")
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
-    )
-    return (
-        assigned.join(dup, "vec_id", "left")
-        .select(
-            "vec_id", "cluster",
-            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
-        )
-    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        # bounded: K rows — the centroid model, not the data
+        for r in emb.filter(F.col("vec_id") < SEMDEDUP_K).collect()
+    ]
+    return semdedup(emb, cents, tau=SEMDEDUP_TAU, cap=SEMDEDUP_CAP)
 
 
 def _semdedup_sql() -> str:
@@ -4041,6 +4002,137 @@ GROUP BY bg.doc_id
 EXTRA_QUERIES["perplexity_lm"] = (q_perplexity_lm, SQL_PERPLEXITY_LM)
 
 
+# ----------------------------------------------------------------------
+# round 7: SemDeDup + BM25 promoted to first-class library operators
+# (VERDICT r6 "Next round" #4/#5): trained corpus-scaled centroids and
+# a terms-DataFrame query interface.
+# ----------------------------------------------------------------------
+
+SEMDEDUP_TRAIN_K = 12  # literal so the oracle can unroll the training;
+# the LIBRARY default scales K with the corpus (semdedup_k = ceil sqrt N,
+# pinned by tests/test_semdedup.py) — a real curation pass passes k=None
+SEMDEDUP_TRAIN_SAMPLE = IVF_TRAIN_SAMPLE
+
+
+def q_semdedup_trained(spark, sf_dir):
+    """SemDeDup with IN-ENGINE TRAINED centroids (functions/semdedup.py
+    — the library promotion of round 6's seed-centroid prototype):
+    spherical k-means on the first SEMDEDUP_TRAIN_SAMPLE vectors
+    (first-k init, 6-decimal quantization — the cross-engine-
+    reproducible config knn_ivf_trained established), then the capped
+    within-cluster duplicate test over the FULL corpus. The oracle
+    unrolls the same two Lloyd passes in SQL."""
+    from aktuell_spark.functions.semdedup import semdedup_trained
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup_trained(
+        emb, k=SEMDEDUP_TRAIN_K, tau=SEMDEDUP_TAU, cap=SEMDEDUP_CAP,
+        train_sample=SEMDEDUP_TRAIN_SAMPLE, n_iter=IVF_TRAIN_ITER,
+    )
+
+
+def _semdedup_trained_sql() -> str:
+    assert IVF_TRAIN_ITER == 2  # passes are unrolled below
+    return f"""
+WITH train_sample AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < {SEMDEDUP_TRAIN_SAMPLE}
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM train_sample
+        ORDER BY vec_id LIMIT {SEMDEDUP_TRAIN_K})
+),{_ivf_lloyd_pass_sql('c0', 'c1')},{_ivf_lloyd_pass_sql('c1', 'c2')},
+assigned AS (
+  SELECT vec_id, embedding, cid AS cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                        c.cid ASC) AS crank
+    FROM embeddings e CROSS JOIN c2 c) WHERE crank = 1
+),
+cand AS (
+  SELECT cluster AS cc, vec_id AS cand_id, embedding AS cand_vec FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster
+                                 ORDER BY vec_id ASC) AS rib
+    FROM assigned) WHERE rib <= {SEMDEDUP_CAP}
+)
+SELECT a.vec_id, a.cluster,
+       EXISTS (
+         SELECT 1 FROM cand c
+         WHERE c.cc = a.cluster AND c.cand_id < a.vec_id
+           AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            c.cand_vec::DOUBLE[]), 6)
+               >= {SEMDEDUP_TAU}
+       ) AS is_dup
+FROM assigned a
+"""
+
+
+EXTRA_QUERIES["semdedup_trained"] = (q_semdedup_trained, _semdedup_trained_sql())
+
+
+# 12 query terms — the terms-DataFrame interface (functions/retrieval.py)
+# replaces round 6's 3-term per-column prototype
+BM25T_TERMS = (
+    "batch", "filter", "hash", "join", "merge", "query",
+    "scan", "sort", "spark", "stream", "vector", "window",
+)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k with the query terms as a DATAFRAME joined on term
+    (functions/retrieval.py — the library promotion of round 6's
+    fixed-term prototype): one token explode + broadcast term join +
+    map-side-combinable tf groupBy; 1-row corpus stats broadcast; top-k
+    stays TakeOrderedAndProject. Ranking orders by the ROUNDED score so
+    float-summation order can never flip a rank across engines."""
+    from aktuell_spark.functions.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    terms = spark.createDataFrame([(t,) for t in BM25T_TERMS], "term string")
+    return bm25_topk(docs, terms, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK)
+
+
+def _bm25_topk_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25T_TERMS)
+    return f"""
+WITH q(term) AS (VALUES {terms}),
+d AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+tok AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok JOIN q USING (term) GROUP BY doc_id, dl, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1.0)
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       score
+FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+EXTRA_QUERIES["bm25_topk"] = (q_bm25_topk, _bm25_topk_sql())
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Near-dup pairs from the STREAM-MAINTAINED MinHash-LSH index
     (streaming/dedup_index.py): the documents table is replayed as a
@@ -4124,32 +4216,25 @@ QUERIES["cluster_incremental"] = (q_cluster_incremental, _dedup_clusters_sql())
 
 
 # ----------------------------------------------------------------------
-# Final registry: exactly DRIVER_WINDOW entries. ROTATION POLICY
-# (VERDICT r5 "Next round" #1): each round the head block holds ONLY
-# queries that have never had a driver correctness row — round 6 swaps
-# the 19 now-driver-proven r5 head queries out for the 12 extras the r5
-# window could not fit plus the 6 new round-6 operators; everything
-# rotated out stays importable, benched, and green under
+# Final registry: exactly DRIVER_WINDOW entries. ROTATION POLICY,
+# round-7 form (every registered query now has at least one driver row,
+# so "never graded" generalizes to STALEST-FIRST): the head block holds
+# the queries whose most recent driver row is OLDEST — this round the 26
+# queries last graded in CORRECTNESS_r04 plus the 2 brand-new round-7
+# library operators (semdedup_trained, bm25_topk) — and the tail
+# re-grades the two incremental indexes whose code changed materially
+# this round plus a refresh of the r5-graded block. Everything rotated
+# out stays importable, benched, and green under
 # tools/check_oracle.py --extra. tests/test_registry_window.py pins the
-# policy (small r5∩r6 head overlap, never-graded head, exact fit).
-# ``__spark_entry__`` inserts the three stream_cdc_* rows-only entries
-# after the head block (STREAM_INSERT_AFTER), keeping the total at 50.
+# policy (head not graded in the last two rounds, r6 head rotated out,
+# exact fit). ``__spark_entry__`` inserts the three stream_cdc_*
+# rows-only entries after the head block (STREAM_INSERT_AFTER), keeping
+# the total at 50.
 # ----------------------------------------------------------------------
 
-# the r5 head (all driver-proven in CORRECTNESS_r05) — kept for the
+# the r6 head (all driver-proven in CORRECTNESS_r06) — kept for the
 # rotation-policy pin
 PREV_ROUND_HEAD = (
-    "deterministic_sample", "cep_funnel", "scd2_history",
-    "winnow_fingerprints", "winnow_pairs", "gopher_repetition",
-    "decontaminate", "ann_quantized", "dedup_clusters",
-    "stratified_sample", "pack_sequences", "tfidf_top_terms",
-    "dedup_corpus", "interval_join", "turn_tool_join_native",
-    "funnel_rate", "top_paths", "cohort_retention", "curate_corpus",
-)
-
-# head: 18 queries that have NEVER had a driver row — the 12 r5 extras
-# (media/stream/sft/mix family) + the 6 new round-6 operators
-_HEAD = (
     "media_pixels", "media_content", "stream_curate", "doc_clusters",
     "conversation_export", "export_shards", "sft_spans",
     "packed_sft_spans", "preference_pairs", "curriculum_order",
@@ -4158,26 +4243,40 @@ _HEAD = (
     "bm25_search", "semdedup", "perplexity_lm", "dedup_incremental",
     "cluster_incremental",
 )
+
+# head: 28 queries — the 26 whose last driver row is round 4 (stalest
+# in the registry) + the 2 new round-7 library operators
+_HEAD = (
+    "distinct_count", "distinct_users", "embedding_near_dup",
+    "exact_dedup", "knn_bruteforce", "knn_ivf", "knn_ivf_trained",
+    "knn_lsh", "knn_multiprobe", "lang_id", "minhash_lsh_pairs",
+    "minhash_signatures", "near_dup_jaccard", "pii_scrub",
+    "pricing_summary", "quality_score", "rate_per_second",
+    "regional_revenue", "set_ops", "simhash", "sliding_window",
+    "token_stats", "token_stats_bpe", "top_revenue_orders",
+    "tumbling_window", "users_with_purchases",
+    "semdedup_trained", "bm25_topk",
+)
 # __spark_entry__ inserts stream_cdc_materialize / _mor / _mor_partial
 # here (3 entries)
 STREAM_INSERT_AFTER = _HEAD[-1]
 
-# tail: the 28 core §2 rows retained from the r5 window (they map 1:1
-# to SURVEY §2 operators) + the flagship curate_corpus composition
+# tail (19): the two stream-maintained indexes re-graded after their
+# round-7 changes (candidate-bounded dedup verification + retraction;
+# checkpointed pair job), then a refresh of the r5-graded block
+# (last rows in CORRECTNESS_r05)
 _TAIL = (
-    "subscription_filter", "json_projection", "snapshot_scan",
-    "count_filtered", "postimage_enrich", "cdc_latest_image", "op_counts",
-    "partial_update_materialize", "drop_mid_feed",
-    "multi_subscription_routing", "residual_projection", "rename_routing",
-    "snapshot_batches", "windows_rollup", "session_window", "topk_recent",
-    "textops_profile", "dedup_pairs_all", "knn_methods", "salted_agg",
-    "value_percentiles", "hll_distinct",
-    "stateful_turn_tool_join", "multimodal_features", "media_meta",
-    "asof_join", "curate_corpus",
+    "dedup_incremental", "cluster_incremental",
+    "ann_quantized", "cep_funnel", "cohort_retention", "decontaminate",
+    "dedup_clusters", "dedup_corpus", "deterministic_sample",
+    "funnel_rate", "gopher_repetition", "interval_join",
+    "pack_sequences", "scd2_history", "stratified_sample",
+    "tfidf_top_terms", "top_paths", "winnow_fingerprints",
+    "winnow_pairs",
 )
-# pivot_counts and rollup_report rotate out this round to make room
-# for dedup_incremental and cluster_incremental in the head (both
-# graded green rounds 1-5; stay oracle-covered in EXTRA_QUERIES)
+# pivot_counts, rollup_report, turn_tool_join_native (rows-only) sit
+# this round out in favor of oracle-bearing slots; the whole r6 window
+# rotates to EXTRA_QUERIES (still benched + --extra-green)
 
 assert len(_HEAD) + 3 + len(_TAIL) == DRIVER_WINDOW, (len(_HEAD), len(_TAIL))
 assert not (set(_HEAD) & set(_TAIL))

@@ -181,14 +181,30 @@ class FanoutSink:
         finally:
             with self._lifecycle_lock:
                 self._epoch_refs -= 1
-                drops = []
-                if self._epoch_refs == 0 and self._deferred_drops:
-                    drops, self._deferred_drops = self._deferred_drops, []
-            if drops:
-                import shutil
+            self.drain_deferred_drops()
 
-                for root in drops:
-                    shutil.rmtree(root, ignore_errors=True)
+    def drain_deferred_drops(self) -> list[str]:
+        """Physically remove table dirs whose drop an in-flight epoch
+        deferred (remove_subscription(drop_table=True) mid-merge).
+        Runs automatically at the end of every epoch; ALSO call it from
+        shutdown (``close``) — if the stream stops before another epoch
+        completes, the rmtree would otherwise never run and the dropped
+        table leaks on disk. No-op while any epoch is still merging.
+        Returns the roots it removed."""
+        with self._lifecycle_lock:
+            if self._epoch_refs > 0 or not self._deferred_drops:
+                return []
+            drops, self._deferred_drops = self._deferred_drops, []
+        import shutil
+
+        for root in drops:
+            shutil.rmtree(root, ignore_errors=True)
+        return drops
+
+    def close(self) -> None:
+        """Shutdown hook for a stopped stream: drain deferred drops.
+        Idempotent; safe to call any time no epoch is in flight."""
+        self.drain_deferred_drops()
 
     def _merge_epoch(
         self,

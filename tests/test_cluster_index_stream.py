@@ -89,3 +89,39 @@ def test_restart_and_empty_batch(spark, tmp_path):
         _pairs_df(spark, []).limit(0), 99,
     )
     assert _labels(index.read()) == before
+
+
+def test_update_heavy_feed_redelivered_edges_and_cascading_merges(
+    spark, tmp_path
+):
+    """Update-heavy stream (VERDICT r6 #7): every epoch REDELIVERS all
+    previously-sent edges (new seqs) alongside one new bridge edge that
+    merges two standing clusters — the table must track batch CC after
+    every generation, and redelivery must not corrupt or duplicate
+    labels."""
+    base = str(tmp_path)
+    # chain segments that successively merge: {0,1},{2,3},{4,5},{6,7}
+    segments = [(0, 1), (2, 3), (4, 5), (6, 7)]
+    bridges = [(1, 2), (3, 4), (5, 6)]  # each merges two standing clusters
+    sent: list[tuple[int, int]] = list(segments)
+    _pairs_df(spark, sent, seq0=0).coalesce(1).write.mode("append").parquet(
+        f"{base}/feed"
+    )
+    seq0 = 1000
+    for bridge in bridges:
+        # redeliver EVERYTHING sent so far (update-heavy), plus the bridge
+        gen = sent + [bridge]
+        _pairs_df(spark, gen, seq0=seq0).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{base}/feed")
+        sent.append(bridge)
+        seq0 += 1000
+        _, index = run_cluster_index_stream(
+            spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt",
+            n_buckets=8, max_files_per_trigger=1,
+        )
+        want = _labels(connected_components(_pairs_df(spark, sent)))
+        assert _labels(index.read()) == want, f"after bridge {bridge}"
+    # final state: one component rooted at 0, every vertex exactly once
+    final = _labels(index.read())
+    assert final == [(v, 0) for v in range(8)]

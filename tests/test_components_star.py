@@ -99,3 +99,19 @@ def test_auto_falls_back_to_star_on_deep_graphs(spark):
     rows = out.collect()
     assert len(rows) == n + 1
     assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_self_loop_vertices_identical_on_both_paths(spark):
+    """A vertex appearing ONLY in self-loop pairs is a singleton
+    component on BOTH paths (so algorithm='auto' output never depends
+    on which path happened to run)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7), (3, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    want = {(1, 1), (2, 1), (7, 7), (3, 3), (4, 3)}
+    for algo in ("hashmin", "star", "auto"):
+        got = {
+            (r["vertex"], r["cluster_id"])
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        assert got == want, algo

@@ -7,10 +7,12 @@ pin three contracts:
 1. the registry fits the window EXACTLY (an appended query cannot
    silently fall outside the graded window);
 2. every graded entry has an oracle or a documented rows-only reason;
-3. the ROTATION POLICY (VERDICT r5 #1): each round's head block holds
-   only queries that have never had a driver correctness row — the
-   previous round's (now driver-proven) head rotates out to
-   EXTRA_QUERIES, where tools/check_oracle.py --extra keeps it green.
+3. the ROTATION POLICY (VERDICT r5 #1, generalized in round 7 now every
+   query has at least one driver row): the head block holds the STALEST
+   queries — nothing graded in either of the two most recent rounds —
+   plus brand-new operators; the previous round's (now driver-proven)
+   head rotates out to EXTRA_QUERIES, where
+   tools/check_oracle.py --extra keeps it green.
 """
 
 from __future__ import annotations
@@ -53,24 +55,28 @@ def test_registry_fits_driver_window_exactly():
     )
 
 
-def test_head_is_never_driver_graded():
-    """Rotation policy, part 1: every head entry (+ the three streaming
-    inserts) must be new to the driver — no row in any prior round's
-    CORRECTNESS file (the repo keeps them all)."""
+def test_head_is_stalest_first():
+    """Rotation policy, part 1 (round-7 form): no head entry was graded
+    in either of the two most recent rounds' CORRECTNESS files — the
+    window refreshes the stalest rows first (or grades brand-new
+    operators for the first time)."""
     repo = Path(__file__).resolve().parent.parent
-    prior = set()
-    for f in sorted(repo.glob("CORRECTNESS_r0[1-5].json")):
-        prior |= set(json.loads(f.read_text()))
-    stale = [n for n in _HEAD if n in prior]
-    assert stale == [], f"head entries already driver-graded: {stale}"
+    recent = set()
+    for f in sorted(repo.glob("CORRECTNESS_r0[5-6].json")):
+        recent |= set(json.loads(f.read_text()))
+    fresh = [n for n in _HEAD if n in recent]
+    assert fresh == [], f"head entries graded within the last 2 rounds: {fresh}"
 
 
 def test_head_disjoint_from_previous_round_head():
-    """Rotation policy, part 2: the r5 head is driver-proven; re-grading
-    it would waste the window. It must have rotated out entirely."""
+    """Rotation policy, part 2: the r6 head is driver-proven; re-grading
+    it in the HEAD would waste the window (the tail may re-grade an
+    entry whose code materially changed). It must have rotated out of
+    the head entirely."""
     overlap = set(_HEAD) & set(PREV_ROUND_HEAD)
     assert overlap == set(), overlap
-    # and the rotated-out queries are still registered (as extras)
+    # and the rotated-out queries are still registered (window tail for
+    # materially-changed code, extras otherwise)
     missing = [n for n in PREV_ROUND_HEAD
                if n not in EXTRA_QUERIES and n not in QUERIES]
     assert missing == [], missing
@@ -87,7 +93,11 @@ def test_window_leads_with_head_then_stream_entries():
 def test_every_graded_entry_has_oracle_or_is_declared_rows_only():
     q, o = entry.queries(), entry.oracle_sql()
     missing = {n for n in q if n not in o}
-    assert missing == ROWS_ONLY - {"turn_tool_join_native"}
+    assert missing == ROWS_ONLY & set(q)
+    # round 7: only the three streaming variants are in-window rows-only
+    assert missing == {
+        "stream_cdc_materialize", "stream_cdc_mor", "stream_cdc_mor_partial",
+    }
 
 
 def test_registries_disjoint_and_callable():

@@ -70,3 +70,40 @@ def test_salt_span_validation(spark, hot):
         sft_text(hot, salt_span=0)
     with pytest.raises(ValueError, match="salt_span"):
         export_conversations(hot, F.col("text"), salt_span=-3)
+
+
+def test_salted_export_nullable_segments_stay_byte_identical(spark):
+    """A NULL segment (e.g. null role null-propagating through concat)
+    is skipped by the flat path's array_join WITHOUT a separator; the
+    salted path must not inject one even when a whole order-block
+    renders NULL (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    from aktuell_spark.functions.sft import export_conversations
+
+    rows = [
+        # conv c1: block 0 (turns 0-1) entirely NULL segs, block 1 mixed
+        ("c1", 0, None), ("c1", 1, None), ("c1", 2, "x"), ("c1", 3, None),
+        # conv c2: leading real, NULL tail block
+        ("c2", 0, "a"), ("c2", 1, "b"), ("c2", 4, None), ("c2", 5, None),
+        # conv c3: all NULL
+        ("c3", 0, None), ("c3", 1, None),
+        # conv c4: empty-STRING segments are real elements (kept, with seps)
+        ("c4", 0, ""), ("c4", 1, ""), ("c4", 2, "z"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, piece string")
+    seg = F.col("piece")  # NULL piece → NULL segment
+    for sep in ("|", ""):
+        flat = {
+            r["conv_id"]: tuple(r)
+            for r in export_conversations(df, seg, sep=sep).collect()
+        }
+        salted = {
+            r["conv_id"]: tuple(r)
+            for r in export_conversations(df, seg, sep=sep, salt_span=2).collect()
+        }
+        assert flat == salted, f"sep={sep!r}"
+    # sanity: flat semantics are what array_join gives
+    flat = {r["conv_id"]: r["log"]
+            for r in export_conversations(df, seg, sep="|").collect()}
+    assert flat == {"c1": "x", "c2": "a|b", "c3": "", "c4": "||z"}
