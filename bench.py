@@ -130,8 +130,10 @@ def main() -> None:
     spark = get_spark(app_name="aktuell_bench", cores=CPUS, shuffle_partitions=CPUS)
 
     # warm-up: JVM/codegen/parquet footer caches + Python/Arrow worker
-    # pool (first pandas-UDF call pays ~10s of one-time session setup)
-    QUERIES["op_counts"][0](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # pool (first pandas-UDF call pays ~10s of one-time session setup);
+    # op_counts rotates between QUERIES/EXTRA_QUERIES round to round
+    _warm = {**QUERIES, **EXTRA_QUERIES}["op_counts"]
+    _warm[0](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     from aktuell_spark.functions.multimodal import extract_features, synthesize_media
 
     extract_features(synthesize_media(spark, n=8)).write.format("noop").mode(

@@ -170,3 +170,30 @@ def test_resolve_renames_broadcasts_lookup(spark):
     assert "SortMergeJoin" not in join_strategies(df), (
         "rename interval lookup must broadcast, never sort-merge"
     )
+
+
+def test_bm25_topk_take_ordered_never_global_sort(spark):
+    from aktuell_spark.plans.explain import formatted_plan
+    from aktuell_spark.queries import q_bm25_topk
+
+    df = q_bm25_topk(spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k must be per-partition heaps + driver merge of k rows"
+    )
+    # the terms side must broadcast, never shuffle the corpus to meet it
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "SortMergeJoin" not in join_strategies(df)
+
+
+def test_semdedup_trained_assignment_is_narrow(spark):
+    from aktuell_spark.plans.explain import formatted_plan
+    from aktuell_spark.queries import q_semdedup_trained
+
+    df = q_semdedup_trained(spark, SF)
+    plan = formatted_plan(df)
+    # assignment is an Arrow-batched matrix product inside the UDF
+    # closure — centroids must NOT appear as a join side
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -203,9 +203,76 @@ def worker_main(cores: int, feed: str, mft: int = 0, enrich: bool = False,
     spark.stop()
 
 
+def run_once(cores: int, feed: str) -> dict:
+    """One un-repeated worker run (the interleaved pairs mode wants the
+    raw sample, not best-of — adjacency does the noise cancelling)."""
+    out = subprocess.run(
+        [sys.executable, __file__, "worker", "--cores", str(cores),
+         "--feed", feed, "--mft", "0"],
+        capture_output=True, text=True, timeout=3600,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"worker {cores} failed:\n{out.stderr[-3000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def pairs_main(passes: int, convs: int, turns: int) -> None:
+    """Interleaved A/B scaling passes (VERDICT r6 #6): each pass runs
+    the N and 4N sides BACK-TO-BACK (1 then 4, 2 then 8), so slow
+    ambient drift on the shared host hits both sides of a ratio almost
+    equally — per-pass efficiency is a paired measurement, and the
+    median over passes is the reported figure. Contrast with the grouped
+    design (all local[1] runs, then all local[2]...), where minutes
+    separate the two sides of each ratio and +-22%% tenant drift lands
+    on one side only."""
+    feed, n_events = gen_feed(convs, avg_turns=turns)
+    print(f"feed ready: {n_events} events", file=sys.stderr)
+    results = []
+    for p in range(passes):
+        t0 = time.time()
+        r1 = run_once(1, feed)
+        r4 = run_once(4, feed)
+        r2 = run_once(2, feed)
+        r8 = run_once(8, feed)
+        def merge_eps(r):
+            return n_events / r["epoch_phases"][0]["job1_write_sec"]
+        row = {
+            "pass": p,
+            "eps": {c: r["events_per_sec"] for c, r in
+                    ((1, r1), (2, r2), (4, r4), (8, r8))},
+            "eff_1_4": round(r4["events_per_sec"] / r1["events_per_sec"] / 4, 3),
+            "eff_2_8": round(r8["events_per_sec"] / r2["events_per_sec"] / 4, 3),
+            "merge_eff_1_4": round(merge_eps(r4) / merge_eps(r1) / 4, 3),
+            "merge_eff_2_8": round(merge_eps(r8) / merge_eps(r2) / 4, 3),
+            "wall_sec": round(time.time() - t0, 1),
+        }
+        results.append(row)
+        print(f"pass {p}: {row}", file=sys.stderr)
+
+    def med(key):
+        vals = sorted(r[key] for r in results)
+        n = len(vals)
+        m = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
+        return round(m, 3)
+
+    print(json.dumps({
+        "mode": "interleaved_pairs", "passes": passes, "n_events": n_events,
+        "per_pass": results,
+        "median_eff_1_4": med("eff_1_4"),
+        "median_eff_2_8": med("eff_2_8"),
+        "median_merge_eff_1_4": med("merge_eff_1_4"),
+        "median_merge_eff_2_8": med("merge_eff_2_8"),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd")
+    pr = sub.add_parser("pairs")
+    pr.add_argument("--passes", type=int, default=5)
+    pr.add_argument("--convs", type=int, default=50_000)
+    pr.add_argument("--turns", type=int, default=200)
     w = sub.add_parser("worker")
     w.add_argument("--cores", type=int, required=True)
     w.add_argument("--feed", required=True)
@@ -225,6 +292,9 @@ def main() -> None:
                     getattr(args, "enrich", False), args.stage,
                     getattr(args, "mor", False),
                     buckets=getattr(args, "buckets", 64))
+        return
+    if args.cmd == "pairs":
+        pairs_main(args.passes, args.convs, args.turns)
         return
 
     feed, n_events = gen_feed(args.convs, avg_turns=args.turns)
