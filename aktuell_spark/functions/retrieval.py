@@ -63,6 +63,22 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
+    return bm25_rank(tf, stats, k1=k1, b=b, topk=topk)
+
+
+def bm25_rank(
+    tf: DataFrame,
+    stats: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 50,
+) -> DataFrame:
+    """Shared BM25 scoring/ranking stage: (doc_id, dl, term, tf) rows +
+    a 1-row (n_docs, avgdl) stats frame → (doc_id, rank, score) top-k.
+    Document frequency is derived from the tf rows themselves (one row
+    per matching (doc, term)). Used by the batch ``bm25_topk`` and the
+    stream-maintained index (streaming/bm25_index.py), so a stream-built
+    index scores queries IDENTICALLY to the batch sweep."""
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )

@@ -4133,6 +4133,42 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
 EXTRA_QUERIES["bm25_topk"] = (q_bm25_topk, _bm25_topk_sql())
 
 
+def q_bm25_incremental(spark, sf_dir):
+    """BM25 top-k from the STREAM-MAINTAINED inverted index
+    (streaming/bm25_index.py — the fourth incremental index): the
+    documents table is replayed as a two-generation feed; each
+    micro-batch is tokenized in-stream and merged exactly-once into the
+    term-bucketed postings table + the doc-length table; the search is
+    a bucket-pruned postings read + the SAME shared scoring stage the
+    batch path uses. The live index must answer the 12-term query
+    exactly as the batch sweep on the final corpus — oracle = the batch
+    BM25 SQL verbatim. A defect anywhere in feed slicing, the postings
+    merge, retraction, doc-length LWW, or stats turns the row red."""
+    import os
+    import tempfile
+
+    from aktuell_spark.streaming.bm25_index import run_bm25_index_stream
+
+    base = tempfile.mkdtemp(prefix="aktuell_bm25_idx_")
+    feed = os.path.join(base, "feed")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("doc_id").cast("long").alias("seq")
+    )
+    for parity in (0, 1):
+        (
+            docs.filter(F.col("doc_id") % 2 == parity)
+            .coalesce(1).write.mode("append").parquet(feed)
+        )
+    _, index = run_bm25_index_stream(
+        spark, feed, os.path.join(base, "idx"), os.path.join(base, "ckpt"),
+        n_buckets=8, max_files_per_trigger=1,
+    )
+    return index.search(list(BM25T_TERMS), k1=BM25_K1, b=BM25_B, topk=BM25_TOPK)
+
+
+EXTRA_QUERIES["bm25_incremental"] = (q_bm25_incremental, _bm25_topk_sql())
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Near-dup pairs from the STREAM-MAINTAINED MinHash-LSH index
     (streaming/dedup_index.py): the documents table is replayed as a
@@ -4244,8 +4280,9 @@ PREV_ROUND_HEAD = (
     "cluster_incremental",
 )
 
-# head: 28 queries — the 26 whose last driver row is round 4 (stalest
-# in the registry) + the 2 new round-7 library operators
+# head: 29 queries — the 26 whose last driver row is round 4 (stalest
+# in the registry) + the 3 new round-7 operators (two library
+# promotions + the stream-maintained BM25 index)
 _HEAD = (
     "distinct_count", "distinct_users", "embedding_near_dup",
     "exact_dedup", "knn_bruteforce", "knn_ivf", "knn_ivf_trained",
@@ -4255,7 +4292,7 @@ _HEAD = (
     "regional_revenue", "set_ops", "simhash", "sliding_window",
     "token_stats", "token_stats_bpe", "top_revenue_orders",
     "tumbling_window", "users_with_purchases",
-    "semdedup_trained", "bm25_topk",
+    "semdedup_trained", "bm25_topk", "bm25_incremental",
 )
 # __spark_entry__ inserts stream_cdc_materialize / _mor / _mor_partial
 # here (3 entries)
@@ -4271,11 +4308,11 @@ _TAIL = (
     "dedup_clusters", "dedup_corpus", "deterministic_sample",
     "funnel_rate", "gopher_repetition", "interval_join",
     "pack_sequences", "scd2_history", "stratified_sample",
-    "tfidf_top_terms", "top_paths", "winnow_fingerprints",
+    "tfidf_top_terms", "winnow_fingerprints",
     "winnow_pairs",
 )
-# pivot_counts, rollup_report, turn_tool_join_native (rows-only) sit
-# this round out in favor of oracle-bearing slots; the whole r6 window
+# pivot_counts, rollup_report, top_paths, turn_tool_join_native
+# (rows-only) sit this round out in favor of oracle-bearing slots; the whole r6 window
 # rotates to EXTRA_QUERIES (still benched + --extra-green)
 
 assert len(_HEAD) + 3 + len(_TAIL) == DRIVER_WINDOW, (len(_HEAD), len(_TAIL))

@@ -1,0 +1,117 @@
+"""Stream-maintained BM25 index: the live index must answer a query
+exactly as the batch sweep on the final corpus — for any batch
+slicing, across restarts, for changed-text redeliveries (postings
+retraction), and ignoring stale out-of-order redeliveries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aktuell_spark.functions.retrieval import bm25_topk
+from aktuell_spark.streaming.bm25_index import run_bm25_index_stream
+
+TERMS = ["spark", "merge", "join", "vector"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+
+
+def _want(spark, docs, topk=20):
+    terms = spark.createDataFrame([(t,) for t in TERMS], "term string")
+    return sorted(map(tuple, bm25_topk(docs, terms, topk=topk).collect()))
+
+
+def _got(index, topk=20):
+    return sorted(map(tuple, index.search(TERMS, topk=topk).collect()))
+
+
+def _feed(docs):
+    return docs.withColumn("seq", F.col("doc_id"))
+
+
+def test_stream_index_equals_batch_for_any_slicing(spark, docs, tmp_path):
+    want = _want(spark, docs)
+    assert want, "fixture corpus matches no query term; test is vacuous"
+    for slices in (2, 4):
+        base = str(tmp_path / f"s{slices}")
+        for i in range(slices):
+            (
+                _feed(docs.filter(F.col("doc_id") % slices == i))
+                .coalesce(1).write.mode("append").parquet(f"{base}/feed")
+            )
+        _, index = run_bm25_index_stream(
+            spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt",
+            n_buckets=8, max_files_per_trigger=1,
+        )
+        assert _got(index) == want, f"slicing {slices}"
+
+
+def test_restart_noop_and_changed_text_retracts_postings(spark, tmp_path):
+    base = str(tmp_path)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, seq long"
+        ).coalesce(1).write.mode("append").parquet(f"{base}/feed")
+
+    def run():
+        _, idx = run_bm25_index_stream(
+            spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt", n_buckets=8
+        )
+        return idx
+
+    write([
+        (1, "spark merge spark", 10),
+        (2, "vector join vector join", 11),
+        (3, "filler words only", 12),
+    ])
+    index = run()
+    before = _got(index)
+    assert {r[0] for r in before} == {1, 2}
+    # restart on the same checkpoint: nothing changes
+    assert _got(run()) == before
+
+    # doc 1 redelivered: 'spark'/'merge' gone, 'join' appears → its old
+    # postings must be tombstoned and scoring must use the new text
+    write([(1, "join join join", 20)])
+    index = run()
+    latest = spark.createDataFrame(
+        [(1, "join join join"),
+         (2, "vector join vector join"),
+         (3, "filler words only")],
+        "doc_id long, text string",
+    )
+    assert _got(index) == _want(spark, latest)
+    assert index.search(["spark", "merge"]).count() == 0  # fully retracted
+
+    # stale out-of-order redelivery (seq 5 < standing 20): ignored
+    write([(1, "spark spark spark", 5)])
+    index = run()
+    assert _got(index) == _want(spark, latest)
+
+
+def test_search_reads_only_query_term_buckets(spark, docs, tmp_path):
+    """The postings table is bucketed by term: a search must bucket-
+    prune its scan (the inverted-list property — search IO is the query
+    terms' posting lists, not the corpus)."""
+    base = str(tmp_path)
+    _feed(docs).coalesce(1).write.parquet(f"{base}/feed")
+    _, index = run_bm25_index_stream(
+        spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt", n_buckets=8
+    )
+    df = index.postings.lookup_many(TERMS)
+    buckets = {index.postings.bucket_of(t) for t in TERMS}
+    assert len(buckets) < 8, "terms hash to fewer buckets than exist"
+    files = df.inputFiles()
+    assert files, "scan reads no files"
+    # every file the scan touches lives in a query term's bucket dir
+    assert all(
+        any(f"bucket={b}/" in f for b in buckets) for f in files
+    ), (files, buckets)
