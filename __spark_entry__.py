@@ -97,8 +97,9 @@ def _stream_cdc_mor_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly DRIVER_WINDOW (50) entries: the rotated head (round-7
-    stalest-first policy: the 26 queries last graded in round 4 + the 2
-    new round-7 library operators), then the three rows-only streaming
+    stalest-first policy: the 26 queries last graded in round 4 + the 4
+    new round-7 operators — two library promotions and the two new
+    stream-maintained indexes), then the three rows-only streaming
     variants, then a tail that re-grades the two materially-changed
     incremental indexes and refreshes the r5-graded block — every entry
     gets a driver correctness row and the rotation is pinned by

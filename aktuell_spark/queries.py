@@ -2050,8 +2050,7 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
-def _decontaminate_sql() -> str:
-    n = DECONTAM_N
+def _decontaminate_sql(n: int = DECONTAM_N) -> str:
     joined = " || ' ' || ".join(
         f"toks[i+{k}]" if k else "toks[i]" for k in range(n)
     )
@@ -4169,6 +4168,52 @@ def q_bm25_incremental(spark, sf_dir):
 EXTRA_QUERIES["bm25_incremental"] = (q_bm25_incremental, _bm25_topk_sql())
 
 
+def q_decontam_incremental(spark, sf_dir):
+    """Contamination report from the STREAM-MAINTAINED decontamination
+    index (streaming/decontam_index.py — the fifth incremental index):
+    the documents table is replayed as a two-generation feed in which
+    benchmark docs (doc_id % 17 == 0) and training docs arrive
+    interleaved; each micro-batch's grams merge exactly-once into the
+    bucketed posting tables, training docs probe the standing benchmark
+    gram set and new benchmark grams retro-probe the standing training
+    postings (bucket-pruned). The live hits table must equal the batch
+    contamination_overlap sweep on the final corpus — oracle = the
+    batch decontamination SQL verbatim. A defect anywhere in feed
+    slicing, either probe direction, retraction, or the denominators
+    turns the row red. Grading runs n=4 grams (the library default
+    stays the published 8): short grams contaminate densely at sf0.01
+    (38 rows vs 2), so the value hash exercises both probe directions
+    and the denominators over many docs instead of two."""
+    import os
+    import tempfile
+
+    from aktuell_spark.streaming.decontam_index import (
+        run_decontam_index_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="aktuell_decontam_idx_")
+    feed = os.path.join(base, "feed")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("doc_id").cast("long").alias("seq")
+    )
+    for parity in (0, 1):
+        (
+            docs.filter(F.col("doc_id") % 2 == parity)
+            .coalesce(1).write.mode("append").parquet(feed)
+        )
+    _, index = run_decontam_index_stream(
+        spark, feed, os.path.join(base, "idx"), os.path.join(base, "ckpt"),
+        bench_pred=lambda c: c % 17 == 0, n=4,
+        n_buckets=8, max_files_per_trigger=1,
+    )
+    return index.contamination()
+
+
+EXTRA_QUERIES["decontam_incremental"] = (
+    q_decontam_incremental, _decontaminate_sql(n=4)
+)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Near-dup pairs from the STREAM-MAINTAINED MinHash-LSH index
     (streaming/dedup_index.py): the documents table is replayed as a
@@ -4280,9 +4325,9 @@ PREV_ROUND_HEAD = (
     "cluster_incremental",
 )
 
-# head: 29 queries — the 26 whose last driver row is round 4 (stalest
-# in the registry) + the 3 new round-7 operators (two library
-# promotions + the stream-maintained BM25 index)
+# head: 30 queries — the 26 whose last driver row is round 4 (stalest
+# in the registry) + the 4 new round-7 operators (two library
+# promotions + the stream-maintained BM25 and decontamination indexes)
 _HEAD = (
     "distinct_count", "distinct_users", "embedding_near_dup",
     "exact_dedup", "knn_bruteforce", "knn_ivf", "knn_ivf_trained",
@@ -4293,27 +4338,30 @@ _HEAD = (
     "token_stats", "token_stats_bpe", "top_revenue_orders",
     "tumbling_window", "users_with_purchases",
     "semdedup_trained", "bm25_topk", "bm25_incremental",
+    "decontam_incremental",
 )
 # __spark_entry__ inserts stream_cdc_materialize / _mor / _mor_partial
 # here (3 entries)
 STREAM_INSERT_AFTER = _HEAD[-1]
 
-# tail (19): the two stream-maintained indexes re-graded after their
+# tail (17): the two stream-maintained indexes re-graded after their
 # round-7 changes (candidate-bounded dedup verification + retraction;
 # checkpointed pair job), then a refresh of the r5-graded block
-# (last rows in CORRECTNESS_r05)
+# (last rows in CORRECTNESS_r05) — note `decontaminate` grades the
+# BATCH sweep in the same window as its incremental twin above
 _TAIL = (
     "dedup_incremental", "cluster_incremental",
     "ann_quantized", "cep_funnel", "cohort_retention", "decontaminate",
     "dedup_clusters", "dedup_corpus", "deterministic_sample",
     "funnel_rate", "gopher_repetition", "interval_join",
-    "pack_sequences", "scd2_history", "stratified_sample",
+    "scd2_history", "stratified_sample",
     "tfidf_top_terms", "winnow_fingerprints",
     "winnow_pairs",
 )
-# pivot_counts, rollup_report, top_paths, turn_tool_join_native
-# (rows-only) sit this round out in favor of oracle-bearing slots; the whole r6 window
-# rotates to EXTRA_QUERIES (still benched + --extra-green)
+# pivot_counts, rollup_report, top_paths, pack_sequences,
+# turn_tool_join_native (rows-only) sit this round out in favor of
+# oracle-bearing slots; the whole r6 window rotates to EXTRA_QUERIES
+# (still benched + --extra-green)
 
 assert len(_HEAD) + 3 + len(_TAIL) == DRIVER_WINDOW, (len(_HEAD), len(_TAIL))
 assert not (set(_HEAD) & set(_TAIL))

@@ -1,0 +1,471 @@
+"""Stream-maintained decontamination index: the benchmark n-gram
+overlap check (functions/dedupe.py::contamination_overlap) kept live by
+the document stream — the fifth instance of the incremental-index
+pattern (streaming/ann_index.py, dedup_index.py, cluster_index.py,
+bm25_index.py).
+
+Why it must be SYMMETRICALLY incremental: benchmark docs and training
+docs arrive in the same feed, in any order. A training doc arriving
+before the benchmark doc it contaminates would be missed by a
+probe-only design, so the index keeps gram postings for BOTH sides and
+probes in both directions — an arriving training doc probes the
+standing benchmark gram set, and an arriving benchmark gram
+retro-probes the standing TRAINING posting list (bucket-pruned to the
+new grams' buckets). Four exactly-once tables under one root, merged
+per micro-batch under the SAME epoch id:
+
+- ``train_grams`` — (gh, doc_id), BUCKETED BY GRAM HASH: the training-
+  side posting list. Only the retro-probe reads it, pruned to the new
+  benchmark grams' buckets — epochs with no new benchmark grams never
+  touch it (the gate tests/test_decontam_index_stream.py spies on).
+- ``bench_grams`` — (gh, doc_id), bucketed by gram hash: the benchmark
+  gram set WITH its carrier doc (so a changed benchmark doc can retract
+  exactly the grams no other benchmark doc still carries). Benchmarks
+  are MBs at 100 TB corpus scale — the per-epoch full read of this
+  table is |benchmark|-bounded, never corpus-bounded.
+- ``docs``  — doc_id → (text, n_grams, is_bench, doc_seq): per-doc LWW
+  by FEED seq (stale out-of-order redeliveries are dropped before
+  indexing), the overlap_frac denominator, and the text a retraction
+  re-grams (only for the redelivered ids — bucket-pruned lookups, the
+  same candidate-bounded contract as the dedup index).
+- ``hits``  — (doc_id, gh): the materialized contamination evidence,
+  one row per (training doc, overlapping benchmark gram). Reads
+  collapse it with one groupBy(doc_id); its size is bounded by actual
+  contamination volume, not the corpus.
+
+Gram hashes are the batch operator's 16-hex md5 prefixes and the gram
+builder is the shared shifted-slice fold (_token_ngrams) — parity is
+the point: ``contamination()`` must equal the batch
+``contamination_overlap`` sweep on the final corpus, pinned across
+slicings, restarts, changed-text redeliveries (both sides), and stale
+redeliveries, and graded cross-engine by the ``decontam_incremental``
+oracle query (the batch decontamination SQL verbatim).
+
+Reference behavior re-expressed: continuous per-collection sync into
+client state (/root/reference/pkg/sync/database.go:97-121), re-targeted
+at training-data decontamination per the round brief.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aktuell_spark.streaming.sink import BucketedUpsertTable
+
+DECONTAM_FEED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("seq", T.LongType()),
+])
+
+_GRAMS_SCHEMA = T.StructType([
+    T.StructField("gh", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+])
+
+_DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_grams", T.LongType()),
+    T.StructField("is_bench", T.BooleanType()),
+    T.StructField("doc_seq", T.LongType()),
+])
+
+_HITS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("gh", T.StringType()),
+])
+
+# lookup_many keeps its key IN-list a pushed parquet filter; past this,
+# fall back to one broadcast-semi-join scan (same constant as
+# dedup_index)
+_MAX_LOOKUP_IDS = 512
+
+
+def _gram_hashes(text_col: Column, n: int) -> Column:
+    """Distinct word n-gram 16-hex md5 prefixes — the batch operator's
+    hash (contamination_overlap, dedupe.py:366-373), verbatim."""
+    from aktuell_spark.functions.dedupe import _token_ngrams
+
+    return F.transform(
+        F.array_distinct(_token_ngrams(text_col, n)),
+        lambda g: F.substring(F.md5(g), 1, 16),
+    )
+
+
+class StreamingDecontamIndex:
+    """foreachBatch body + the four standing tables + the read."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bench_pred: Callable[[Column], Column],
+        n: int = 8,
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.n = n
+        self.bench_pred = bench_pred
+        # the two CORPUS-sized tables are merge-on-read: gram inserts
+        # hash into every bucket, so a copy-on-write epoch would rewrite
+        # the whole posting table — MoR appends O(batch) run files
+        # instead, and reads (retro-probe, denominators) collapse runs
+        # at read time; ``compact()`` folds runs back on the operator's
+        # cadence. The benchmark-side and hits tables stay CoW: both are
+        # bounded (benchmark size / contamination volume), and CoW keeps
+        # their frequent full reads run-free.
+        self.train_grams = BucketedUpsertTable(
+            spark, os.path.join(root, "train_grams"), n_buckets=n_buckets,
+            key=("gh", "doc_id"), payload=("gh", "doc_id"),
+            order_col="seq", payload_schema=_GRAMS_SCHEMA,
+            merge_on_read=True,
+        )
+        self.bench_grams = BucketedUpsertTable(
+            spark, os.path.join(root, "bench_grams"), n_buckets=n_buckets,
+            key=("gh", "doc_id"), payload=("gh", "doc_id"),
+            order_col="seq", payload_schema=_GRAMS_SCHEMA,
+        )
+        self.docs = BucketedUpsertTable(
+            spark, os.path.join(root, "docs"), n_buckets=n_buckets,
+            key=("doc_id",),
+            payload=("doc_id", "text", "n_grams", "is_bench", "doc_seq"),
+            order_col="seq", payload_schema=_DOCS_SCHEMA,
+            merge_on_read=True,
+        )
+        self.hits = BucketedUpsertTable(
+            spark, os.path.join(root, "hits"), n_buckets=n_buckets,
+            key=("doc_id", "gh"), payload=("doc_id", "gh"),
+            order_col="seq", payload_schema=_HITS_SCHEMA,
+        )
+
+    def compact(self) -> None:
+        """Fold the MoR tables' run files back to one file per bucket
+        (read-amplification maintenance; call on the ingest cadence)."""
+        self.train_grams.compact()
+        self.docs.compact()
+
+    # ------------------------------------------------------------------
+    def _fetch_docs(self, ids: list[int]) -> DataFrame:
+        """Standing docs for an explicit id set: bucket-pruned
+        lookup_many up to _MAX_LOOKUP_IDS, then one broadcast-semi-join
+        scan — never an aggregate over the standing table either way."""
+        if not ids:
+            return self.docs.read().limit(0)
+        if len(ids) <= _MAX_LOOKUP_IDS:
+            return self.docs.lookup_many(ids)
+        id_df = self.spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id long"
+        )
+        return self.docs.read().join(F.broadcast(id_df), "doc_id", "left_semi")
+
+    def _pruned_grams(self, table: BucketedUpsertTable, gh_df: DataFrame) -> DataFrame:
+        """Standing gram postings restricted to the buckets of the probe
+        grams in ``gh_df`` (column ``gh``): dir-level pruning keyed by
+        the table's own bucket function — the probe never lists, let
+        alone scans, untouched buckets. The bucket-id collect is bounded
+        by n_buckets, never by the probe size."""
+        buckets = sorted(
+            r[0]
+            for r in gh_df.select(
+                F.pmod(F.xxhash64("gh"), F.lit(table.n_buckets))
+                .cast("int").alias("b")
+            ).distinct().collect()
+        )
+        raw = table._read_raw(buckets=buckets) if buckets else None
+        if raw is None:
+            return table.read().limit(0)
+        return raw.filter(F.col("op") != "delete").select(*table.payload)
+
+    # ------------------------------------------------------------------
+    def merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        tables = (self.train_grams, self.bench_grams, self.hits, self.docs)
+        if all(t.is_committed(epoch_id) for t in tables):
+            return
+        pins: list[DataFrame] = []
+
+        def _pin(df: DataFrame) -> DataFrame:
+            pins.append(df.persist())
+            return pins[-1]
+
+        # latest row per doc within the batch (a feed may redeliver),
+        # with the persisted denominators: n_grams = distinct-gram count
+        # (the batch operator's expression), is_bench = side predicate
+        # (a pure function of the doc id — a doc never switches sides)
+        arriving = _pin(
+            batch_df.select("doc_id", "text", "seq")
+            .groupBy("doc_id")
+            .agg(F.max(F.struct("seq", "text")).alias("w"))
+            .select(
+                "doc_id",
+                F.col("w.text").alias("text"),
+                F.col("w.seq").alias("seq"),
+            )
+            .withColumn("is_bench", self.bench_pred(F.col("doc_id")))
+            .withColumn(
+                "n_grams",
+                F.greatest(
+                    F.size(F.array_distinct(
+                        self._ngrams(F.col("text"))
+                    )),
+                    F.lit(0),
+                ).cast("long"),
+            )
+        )
+        try:
+            # out-of-order protection + redelivery detection: one
+            # 2-column standing scan past a broadcast key filter — gated
+            # on the standing table existing at all
+            updated_train: list[int] = []
+            updated_bench: list[int] = []
+            if self.docs._read_raw() is not None:  # listing only
+                st = (
+                    self.docs.read()
+                    .select("doc_id", F.col("doc_seq").alias("_st_seq"))
+                    .join(
+                        F.broadcast(arriving.select("doc_id")),
+                        "doc_id", "left_semi",
+                    )
+                )
+                joined = _pin(arriving.join(F.broadcast(st), "doc_id", "left"))
+                batch = _pin(
+                    joined.filter(
+                        F.col("_st_seq").isNull()
+                        | (F.col("seq") > F.col("_st_seq"))
+                    ).drop("_st_seq")
+                )
+                for r in joined.filter(
+                    F.col("_st_seq").isNotNull()
+                    & (F.col("seq") > F.col("_st_seq"))
+                ).select("doc_id", "is_bench").collect():
+                    (updated_bench if r[1] else updated_train).append(r[0])
+            else:
+                batch = arriving
+
+            grams_b = _pin(
+                batch.select(
+                    "doc_id", "is_bench",
+                    F.explode(_gram_hashes(F.col("text"), self.n)).alias("gh"),
+                )
+            )
+            bt = grams_b.filter(~F.col("is_bench")).select("doc_id", "gh")
+            bb = grams_b.filter(F.col("is_bench")).select("doc_id", "gh")
+            have_bt = not bt.isEmpty()
+            have_bb = not bb.isEmpty()
+            epoch_seq = F.lit(int(epoch_id)).cast("long")
+
+            def _ops(df: DataFrame, op: str) -> DataFrame:
+                return df.withColumn("op", F.lit(op)).withColumn(
+                    "seq", epoch_seq
+                )
+
+            tg_ops = _ops(bt.select("gh", "doc_id"), "insert")
+            bg_ops = _ops(bb.select("gh", "doc_id"), "insert")
+            hit_legs: list[DataFrame] = []
+            hit_dels: list[DataFrame] = []
+
+            # ---- retraction (gated: insert-only epochs skip all of it)
+            updated = updated_train + updated_bench
+            if updated:
+                old_g = _pin(
+                    self._fetch_docs(updated)
+                    .select(
+                        "doc_id", "is_bench",
+                        F.explode(
+                            _gram_hashes(F.col("text"), self.n)
+                        ).alias("gh"),
+                    )
+                )
+                removed = _pin(
+                    old_g.join(
+                        grams_b.select("doc_id", "gh"),
+                        ["doc_id", "gh"], "left_anti",
+                    )
+                )
+                removed_t = removed.filter(~F.col("is_bench")).select(
+                    "gh", "doc_id"
+                )
+                removed_b = removed.filter(F.col("is_bench")).select(
+                    "gh", "doc_id"
+                )
+                tg_ops = tg_ops.unionByName(_ops(removed_t, "delete"))
+                bg_ops = bg_ops.unionByName(_ops(removed_b, "delete"))
+                # (a) an updated TRAINING doc drops the hits of the
+                # grams its new text no longer carries — exact keys
+                hit_dels.append(
+                    _ops(removed_t.select("doc_id", "gh"), "delete")
+                )
+                # (b) an updated BENCHMARK doc kills a gram only if no
+                # OTHER live benchmark carrier remains: standing
+                # carriers (bucket-pruned to the removed grams, minus
+                # this batch's updated bench docs whose rows are stale)
+                # ∪ this batch's bench grams
+                if not removed_b.isEmpty():
+                    rb_keys = _pin(removed_b.select("gh").distinct())
+                    upd_b_df = self.spark.createDataFrame(
+                        [(int(i),) for i in updated_bench], "doc_id long"
+                    )
+                    standing_carriers = (
+                        self._pruned_grams(self.bench_grams, rb_keys)
+                        .join(rb_keys, "gh")
+                        .join(F.broadcast(upd_b_df), "doc_id", "left_anti")
+                        .select("gh")
+                    )
+                    carriers = standing_carriers.unionByName(
+                        bb.join(rb_keys, "gh").select("gh")
+                    ).distinct()
+                    dead = _pin(rb_keys.join(carriers, "gh", "left_anti"))
+                    if not dead.isEmpty():
+                        # hits carrying a dead gram: the scan is
+                        # |hits|-bounded (contamination volume), never
+                        # corpus-bounded
+                        hit_dels.append(
+                            _ops(
+                                self.hits.read().join(
+                                    F.broadcast(dead), "gh"
+                                ).select("doc_id", "gh"),
+                                "delete",
+                            )
+                        )
+
+            # ---- new hits: three probe legs, each gated
+            batch_train_ids = batch.filter(~F.col("is_bench")).select("doc_id")
+            if have_bt and self.bench_grams._read_raw() is not None:
+                # arriving training grams vs the standing benchmark gram
+                # set (minus updated bench docs' stale rows — their
+                # CURRENT grams are in bb and covered by the third leg)
+                stand_bench = self.bench_grams.read()
+                if updated_bench:
+                    ub = self.spark.createDataFrame(
+                        [(int(i),) for i in updated_bench], "doc_id long"
+                    )
+                    stand_bench = stand_bench.join(
+                        F.broadcast(ub), "doc_id", "left_anti"
+                    )
+                hit_legs.append(
+                    bt.join(stand_bench.select("gh").distinct(), "gh")
+                    .select("doc_id", "gh")
+                )
+            if have_bb and self.train_grams._read_raw() is not None:
+                # retro-probe: new benchmark grams vs the STANDING
+                # training postings, bucket-pruned to the new grams'
+                # buckets; this batch's training docs are excluded (new
+                # ones aren't standing, updated ones' standing rows are
+                # stale) — their current grams are the third leg
+                bbg = _pin(bb.select("gh").distinct())
+                st_train = self._pruned_grams(
+                    self.train_grams, bbg
+                ).join(F.broadcast(batch_train_ids), "doc_id", "left_anti")
+                hit_legs.append(
+                    st_train.join(bbg, "gh").select("doc_id", "gh")
+                )
+            if have_bt and have_bb:
+                hit_legs.append(
+                    bt.join(bb.select("gh").distinct(), "gh")
+                    .select("doc_id", "gh")
+                )
+
+            hits_ops: DataFrame | None = None
+            for leg in hit_legs:
+                ins = _ops(leg, "insert")
+                hits_ops = ins if hits_ops is None else hits_ops.unionByName(ins)
+            if hits_ops is not None:
+                hits_ops = hits_ops.dropDuplicates(["doc_id", "gh"])
+            for d in hit_dels:
+                hits_ops = d if hits_ops is None else hits_ops.unionByName(d)
+            if hits_ops is None:
+                hits_ops = self.spark.createDataFrame(
+                    [], _HITS_SCHEMA
+                ).withColumn("op", F.lit("insert")).withColumn(
+                    "seq", epoch_seq
+                )
+            # materialize BEFORE any table merge: the hits plan reads
+            # the standing train_grams/bench_grams parquet files, and
+            # the CoW merges below rewrite those buckets in place — a
+            # lazy plan would resolve to deleted files (persist() is
+            # not enough; the first action must happen now)
+            hits_ops = hits_ops.localCheckpoint()
+
+            self.train_grams.merge_batch(tg_ops, epoch_id)
+            self.bench_grams.merge_batch(bg_ops, epoch_id)
+            self.hits.merge_batch(hits_ops, epoch_id)
+            self.docs.merge_batch(
+                _ops(
+                    batch.select(
+                        "doc_id", "text", "n_grams", "is_bench",
+                        F.col("seq").alias("doc_seq"),
+                    ),
+                    "insert",
+                ),
+                epoch_id,
+            )
+        finally:
+            for df in pins:
+                df.unpersist()
+
+    def _ngrams(self, text_col: Column) -> Column:
+        from aktuell_spark.functions.dedupe import _token_ngrams
+
+        return _token_ngrams(text_col, self.n)
+
+    def foreach_batch(self):
+        return lambda df, epoch: self.merge_batch(df, epoch)
+
+    # ------------------------------------------------------------------
+    def contamination(self) -> DataFrame:
+        """Current contamination report from the LIVE index: one row per
+        contaminated training doc — (doc_id, n_overlap_grams, n_grams,
+        overlap_frac), identical to the batch ``contamination_overlap``
+        on the same corpus. One groupBy over the hits table + a keyed
+        join to the docs denominators; cost is |hits|-bounded."""
+        per_doc = self.hits.read().groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_overlap_grams")
+        )
+        denom = self.docs.read().filter(~F.col("is_bench")).select(
+            "doc_id", "n_grams"
+        )
+        return per_doc.join(denom, "doc_id").select(
+            "doc_id",
+            "n_overlap_grams",
+            "n_grams",
+            F.round(
+                F.col("n_overlap_grams") / F.col("n_grams"), 4
+            ).alias("overlap_frac"),
+        )
+
+
+def run_decontam_index_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    bench_pred: Callable[[Column], Column],
+    n: int = 8,
+    n_buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+    trigger: dict | None = None,
+):
+    """Tail a document feed into the live decontamination index. Same
+    lifecycle contract as run_cdc_pipeline. Returns (query, index)."""
+    reader = spark.readStream.schema(DECONTAM_FEED_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(feed_dir)
+    index = StreamingDecontamIndex(
+        spark, root, bench_pred, n=n, n_buckets=n_buckets
+    )
+    query = (
+        stream.writeStream.foreachBatch(index.foreach_batch())
+        .option("checkpointLocation", os.path.join(checkpoint_dir))
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query, index
