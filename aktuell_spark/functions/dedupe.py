@@ -415,3 +415,86 @@ def _token_ngrams(text_col, n: int):
             grams, F.slice(t, 1 + j, m), lambda x, y: F.concat(x, F.lit(" "), y)
         )
     return grams
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 30,
+) -> DataFrame:
+    """Exact repeated-substring detection (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" check,
+    re-expressed as gram-hash joins instead of a single-node suffix
+    array): every MAXIMAL character span that is part of some substring
+    of length >= ``min_len`` occurring at two or more places in the
+    corpus (other documents or elsewhere in the same one — verbatim
+    boilerplate, licenses, templated headers). Output one row per span:
+    (doc_id, span_start, span_end, span_len), 1-based inclusive
+    character offsets.
+
+    Method: every ``min_len``-char gram of every doc is hashed
+    (16-hex md5 prefix — engine-portable like the other dedup ops);
+    a gram hash seen at >= 2 (doc, pos) sites marks both sites
+    repeated; per doc, marked positions closer than ``min_len``
+    coalesce into maximal spans (gaps-and-islands over a per-doc
+    window).
+
+    Scale shape: the gram explode is O(total corpus chars) rows of
+    (16-hex hash, id, pos) — linear, never pairwise; repetition is one
+    map-side-combinable groupBy on the hash (count >= 2, no pair join,
+    so boilerplate grams cost their count, not count^2); the island
+    merge is one per-doc window whose width is bounded by document
+    length. Two narrow-key shuffles + one broadcast (the repeated-hash
+    set; AQE falls back to a shuffle join when it outgrows the
+    threshold). The md5 gram hash is the engine-portability choice (the
+    DuckDB oracle reproduces it bit-for-bit); a production deployment
+    would swap it for xxhash64 — same plan, ~3x cheaper scan. The
+    winnowing operator (functions/winnow.py) is the cheaper sampled
+    alternative when per-position exactness isn't required.
+    """
+    g = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        )
+        .filter(F.length("_t") >= min_len)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - (min_len - 1))
+            ).alias("pos"),
+            F.col("_t"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(
+                F.md5(F.expr(f"substring(_t, pos, {int(min_len)})")), 1, 16
+            ).alias("h"),
+        )
+    )
+    rep = g.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    ).select("h")
+    p = g.join(rep, "h").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = p.withColumn(
+        "_brk",
+        F.when(
+            (F.col("pos") - F.lag("pos").over(w)) <= min_len, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("_gid", F.sum("_brk").over(w))
+    return (
+        isl.groupBy("doc_id", "_gid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (min_len - 1)).alias("span_end"),
+            (F.max("pos") + (min_len - 1) - F.min("pos") + 1).alias(
+                "span_len"
+            ),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+    )
