@@ -20,8 +20,14 @@ Cluster deployment (north rule):
 - ``clusters`` — live connected-components table over a near-dup pair
   stream (streaming/cluster_index.py); feed columns
   (doc_a, doc_b, seq).
+- ``bm25``     — live inverted term index (streaming/bm25_index.py);
+  feed columns (doc_id, text, seq). ``--terms`` scores a sample query
+  after the bounded replay.
+- ``decontam`` — live benchmark n-gram overlap index
+  (streaming/decontam_index.py); feed columns (doc_id, text, seq),
+  benchmark membership ``doc_id % --bench-mod == 0``.
 
-All three share the engine's lifecycle contract: availableNow bounded
+All five share the engine's lifecycle contract: availableNow bounded
 replay by default (``--continuous`` tails with a processingTime
 trigger), restart from the same checkpoint is a no-op, every epoch
 commit is idempotent.
@@ -36,7 +42,7 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", required=True,
-                    choices=["ann", "dedup", "clusters"])
+                    choices=["ann", "dedup", "clusters", "bm25", "decontam"])
     ap.add_argument("--feed", required=True)
     ap.add_argument("--root", required=True)
     ap.add_argument("--checkpoint", required=True)
@@ -48,6 +54,12 @@ def main() -> None:
     # dedup knobs
     ap.add_argument("--threshold", type=float, default=0.2)
     ap.add_argument("--ngram", type=int, default=3)
+    # bm25 knobs
+    ap.add_argument("--terms", default=None,
+                    help="comma-separated query terms to score post-replay")
+    # decontam knobs
+    ap.add_argument("--bench-mod", type=int, default=17)
+    ap.add_argument("--decontam-ngram", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -88,7 +100,7 @@ def main() -> None:
             "docs": index.docs.read().count(),
             "pairs": index.found_pairs().count(),
         }))
-    else:
+    elif args.kind == "clusters":
         from aktuell_spark.streaming.cluster_index import (
             run_cluster_index_stream,
         )
@@ -100,6 +112,38 @@ def main() -> None:
             query.awaitTermination()
         print(json.dumps({
             "kind": "clusters", "vertices": index.read().count(),
+        }))
+    elif args.kind == "bm25":
+        from aktuell_spark.streaming.bm25_index import run_bm25_index_stream
+
+        query, index = run_bm25_index_stream(
+            spark, args.feed, args.root, args.checkpoint, **common,
+        )
+        if args.continuous:
+            query.awaitTermination()
+        out = {"kind": "bm25", "docs": index.docs.read().count()}
+        if args.terms:
+            out["top"] = [
+                r.asDict()
+                for r in index.search(args.terms.split(","), topk=10).collect()
+            ]
+        print(json.dumps(out))
+    else:
+        from aktuell_spark.streaming.decontam_index import (
+            run_decontam_index_stream,
+        )
+
+        mod = args.bench_mod
+        query, index = run_decontam_index_stream(
+            spark, args.feed, args.root, args.checkpoint,
+            bench_pred=lambda c: c % mod == 0,
+            n=args.decontam_ngram, **common,
+        )
+        if args.continuous:
+            query.awaitTermination()
+        print(json.dumps({
+            "kind": "decontam",
+            "contaminated_docs": index.contamination().count(),
         }))
 
 

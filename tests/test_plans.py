@@ -197,3 +197,51 @@ def test_semdedup_trained_assignment_is_narrow(spark):
     assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repeated_spans_linear_never_pairwise(spark):
+    from aktuell_spark.plans.explain import formatted_plan
+    from aktuell_spark.queries import q_repeated_spans
+
+    df = q_repeated_spans(spark, SF)
+    plan = formatted_plan(df)
+    # the repeated-gram check is count>=2 on the hash — a pair join
+    # here (gram explode squared) is the 100 TB killer
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # gram groupBy + per-doc window: at most 2 hash shuffles (the
+    # repeated-hash set rides a broadcast, or AQE adds one more —
+    # never more than 3)
+    assert count_exchanges(df) <= 3, formatted_plan(df)
+    read = read_schema_columns(df)
+    assert set(read) <= {"doc_id", "text"}, f"scan must prune to id+text, got {read}"
+
+
+def test_decontam_contamination_read_is_keyed(spark, tmp_path):
+    """The live contamination report is one groupBy over hits + one
+    keyed join to the docs denominators — a pair join or nested loop
+    here would make reads corpus-quadratic."""
+    from pyspark.sql import functions as F
+
+    from aktuell_spark.plans.explain import formatted_plan
+    from aktuell_spark.streaming.decontam_index import StreamingDecontamIndex
+
+    index = StreamingDecontamIndex(
+        spark, str(tmp_path / "idx"), bench_pred=lambda c: c % 10 == 0,
+        n=4, n_buckets=4,
+    )
+    index.merge_batch(
+        spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta", 1),
+                (1, "prefix alpha beta gamma delta suffix words", 2),
+            ],
+            "doc_id long, text string, seq long",
+        ),
+        0,
+    )
+    df = index.contamination()
+    assert df.count() == 1
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
