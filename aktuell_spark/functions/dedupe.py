@@ -498,3 +498,69 @@ def repeated_substring_spans(
         )
         .select("doc_id", "span_start", "span_end", "span_len")
     )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 30,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The actionable half of exact-substring dedup: cut every repeated
+    span (see :func:`repeated_substring_spans`) out of its document and
+    return the cleaned corpus — (doc_id, clean_text, n_removed_chars),
+    one row per input doc (docs with no repeated spans pass through
+    with n_removed_chars = 0).
+
+    Policy: ALL occurrences are removed (boilerplate semantics — a
+    license header is noise in every copy). Lee et al.'s keep-one
+    policy needs a global canonical-site election per duplicate
+    cluster; for training-data curation the drop-all form is the
+    standard conservative variant.
+
+    Scale shape: spans per doc collapse to one sorted array (bounded by
+    doc length), the cut itself is one ``aggregate`` fold over that
+    array — narrow, no extra shuffle beyond the span detection, and the
+    docs-side join is keyed on the id.
+    """
+    if spans is None:
+        spans = repeated_substring_spans(df, id_col, text_col, min_len)
+    sp = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_sp"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "_removed"
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    j = base.join(sp, "doc_id", "left")
+    # fold the sorted spans: acc = (next uncut position, output so far);
+    # each span appends the kept gap before it and jumps past its end
+    # (spans are maximal islands, so consecutive spans never overlap)
+    t = F.col("_t")
+    cut = F.aggregate(
+        F.col("_sp"),
+        F.struct(
+            F.lit(1).cast("long").alias("pos"), F.lit("").alias("out")
+        ),
+        lambda acc, s: F.struct(
+            (s["span_end"] + 1).cast("long").alias("pos"),
+            F.concat(
+                acc["out"], t.substr(acc["pos"], s["span_start"] - acc["pos"])
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"], t.substr(acc["pos"], F.length(t) - acc["pos"] + 1)
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.when(F.col("_sp").isNull(), t).otherwise(cut).alias("clean_text"),
+        F.coalesce(F.col("_removed"), F.lit(0)).cast("long").alias(
+            "n_removed_chars"
+        ),
+    )

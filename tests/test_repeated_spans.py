@@ -69,3 +69,43 @@ def test_matches_duckdb_oracle_on_corpus(spark):
     )
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_strip_repeated_spans_cuts_exactly(spark):
+    from aktuell_spark.functions.dedupe import strip_repeated_spans
+
+    boiler = "this exact license header is repeated verbatim!"  # 48 chars
+    rows = [
+        (1, f"{boiler} plus unique tail one"),
+        (2, f"unique head two {boiler} and more"),
+        (3, "entirely unique document with no repetition"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r[0]: (r[1], r[2]) for r in strip_repeated_spans(df, min_len=40).collect()}
+    assert set(got) == {1, 2, 3}
+    # doc 3 untouched
+    assert got[3] == (rows[2][1], 0)
+    # the boilerplate is gone from both carriers; unique parts survive
+    for d in (1, 2):
+        assert boiler not in got[d][0]
+        assert got[d][1] >= len(boiler)
+    assert got[1][0].endswith("plus unique tail one")
+    assert got[2][0].startswith("unique head two")
+    # cut lengths reconcile: len(text) == len(clean) + removed
+    for i, t in rows:
+        assert len(t) == len(got[i][0]) + got[i][1]
+
+
+def test_strip_repeated_matches_duckdb_oracle(spark):
+    from aktuell_spark.queries import EXTRA_QUERIES
+
+    fn, sql = EXTRA_QUERIES["strip_repeated"]
+    got = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+    assert any(r[2] > 0 for r in got), "nothing stripped; test is vacuous"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
