@@ -453,7 +453,22 @@ def repeated_substring_spans(
     winnowing operator (functions/winnow.py) is the cheaper sampled
     alternative when per-position exactness isn't required.
     """
-    g = (
+    g = char_gram_positions(df, id_col, text_col, min_len)
+    rep = g.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    ).select("h")
+    p = g.join(rep, "h").select("doc_id", "pos")
+    return positions_to_spans(p, min_len)
+
+
+def char_gram_positions(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """(doc_id, pos, h): every ``min_len``-char gram of every doc as a
+    1-based position + 16-hex md5 prefix. Shared by the batch span
+    detector and the stream-maintained span index
+    (streaming/span_index.py) — parity by construction."""
+    return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.col(text_col).alias("_t"),
@@ -474,14 +489,17 @@ def repeated_substring_spans(
             ).alias("h"),
         )
     )
-    rep = g.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") >= 2
-    ).select("h")
-    p = g.join(rep, "h").select("doc_id", "pos")
+
+
+def positions_to_spans(p: DataFrame, min_len: int) -> DataFrame:
+    """Gaps-and-islands: marked gram-start positions (doc_id, pos) →
+    maximal spans (doc_id, span_start, span_end, span_len). Shared by
+    the batch detector and the span index's read path. One per-doc
+    window, width bounded by document length."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = p.withColumn(
+    isl = p.select("doc_id", "pos").withColumn(
         "_brk",
         F.when(
             (F.col("pos") - F.lag("pos").over(w)) <= min_len, F.lit(0)
