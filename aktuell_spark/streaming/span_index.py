@@ -35,8 +35,13 @@ is AS OF THE LAST EPOCH COMMITTED STRICTLY BEFORE this one — MoR run
 files make that a free snapshot read — so a replayed epoch recomputes
 byte-identical deltas and transitions no matter which subset of tables
 already committed (tests/test_span_index_stream.py crash seams).
-Corollary: this index must not compact() between epochs of a live
-stream (snapshot reads need the run files); compact on ingest pauses.
+Corollary on maintenance: a FULL ``compact()`` records its cutoff at
+the newest committed epoch, which would make the NEXT epoch's
+as-of-previous read refuse — so the index's maintenance entry point is
+``expire(upto)`` (``expire_runs``): runs at or below the cutoff fold
+into per-bucket bases while snapshots above it stay valid, keeping the
+read amplification bounded without ever invalidating the next merge
+(pinned by a fold-then-keep-streaming test).
 
 Per-epoch cost: O(batch chars) gram rows, a bucket-pruned 1-row-per-
 touched-gram counts probe, and standing-site lookups ONLY for grams
@@ -131,6 +136,25 @@ class StreamingSpanIndex:
         )
 
     # ------------------------------------------------------------------
+    def expire(self, upto: int | None = None) -> None:
+        """Fold run files at or below ``upto`` into per-bucket bases on
+        all four tables (Iceberg expire_snapshots analogue). Defaults to
+        last-committed-epoch - 1: the newest epoch stays travelable, so
+        the NEXT merge's as-of-previous reads remain valid — the safe
+        maintenance cadence for a live stream (a full compact() would
+        record its cutoff at the newest epoch and refuse them)."""
+        if upto is None:
+            eps = [
+                int(c)
+                for c in os.listdir(self.counts.commits_dir)
+                if c.lstrip("-").isdigit() and int(c) >= 0
+            ]
+            if len(eps) < 2:
+                return
+            upto = max(eps) - 1
+        for t in (self.positions, self.counts, self.marked, self.docs):
+            t.expire_runs(upto)
+
     def _prev_epoch(self, table: BucketedUpsertTable, epoch_id: int):
         """Last epoch committed STRICTLY before this one — the snapshot
         every standing read during this epoch's merge pins to, so a

@@ -191,3 +191,30 @@ def test_partial_commit_replay_converges(spark, tmp_path, crash_after):
         ).groupBy("h").count().collect()
     }
     assert got_cnt == want_cnt
+
+
+def test_expire_then_keep_streaming(spark, tmp_path):
+    """Maintenance cadence: fold old run files (expire) between epochs,
+    then keep merging — the next epoch's as-of-previous reads must stay
+    valid and the index must still equal the batch sweep (a full
+    compact() would record its cutoff at the newest epoch and refuse
+    them; `expire` is the safe entry point)."""
+    index = StreamingSpanIndex(
+        spark, str(tmp_path / "idx"), min_len=L, n_buckets=4
+    )
+
+    def batch(rows, epoch):
+        index.merge_batch(
+            spark.createDataFrame(rows, "doc_id long, text string, seq long"),
+            epoch,
+        )
+
+    batch([(i, t, i) for i, t in ROWS[:2]], 0)
+    batch([(i, t, i) for i, t in ROWS[2:]], 1)
+    index.expire()  # folds epoch-0 runs; epoch 1 stays travelable
+    # epoch 2 relies on as-of(1) count/position reads: doc 5 duplicates
+    # doc 3's text (1->2 retro-mark of a site folded into the base)
+    batch([(5, ROWS[2][1], 50)], 2)
+    final = [*ROWS, (5, ROWS[2][1])]
+    assert _got(index) == _want(spark, final)
+    assert {r[0] for r in _got(index)} >= {3, 5}
