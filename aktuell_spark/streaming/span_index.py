@@ -379,6 +379,19 @@ class StreamingSpanIndex:
 
         return positions_to_spans(self.marked.read(), self.min_len)
 
+    def cleaned(self) -> DataFrame:
+        """Live cleaned corpus: every repeated span cut out of the
+        standing documents — the stream-maintained form of the batch
+        ``strip_repeated_spans`` (same shared cut stage over
+        ``spans()``; one row per standing doc)."""
+        from aktuell_spark.functions.dedupe import strip_repeated_spans
+
+        return strip_repeated_spans(
+            self.docs.read().select("doc_id", "text"),
+            min_len=self.min_len,
+            spans=self.spans(),
+        )
+
 
 def run_span_index_stream(
     spark: SparkSession,

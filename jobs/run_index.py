@@ -26,8 +26,11 @@ Cluster deployment (north rule):
 - ``decontam`` — live benchmark n-gram overlap index
   (streaming/decontam_index.py); feed columns (doc_id, text, seq),
   benchmark membership ``doc_id % --bench-mod == 0``.
+- ``span``     — live repeated-substring (boilerplate) index
+  (streaming/span_index.py); feed columns (doc_id, text, seq),
+  span threshold ``--min-len``.
 
-All five share the engine's lifecycle contract: availableNow bounded
+All six share the engine's lifecycle contract: availableNow bounded
 replay by default (``--continuous`` tails with a processingTime
 trigger), restart from the same checkpoint is a no-op, every epoch
 commit is idempotent.
@@ -42,7 +45,8 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", required=True,
-                    choices=["ann", "dedup", "clusters", "bm25", "decontam"])
+                    choices=["ann", "dedup", "clusters", "bm25", "decontam",
+                             "span"])
     ap.add_argument("--feed", required=True)
     ap.add_argument("--root", required=True)
     ap.add_argument("--checkpoint", required=True)
@@ -60,6 +64,8 @@ def main() -> None:
     # decontam knobs
     ap.add_argument("--bench-mod", type=int, default=17)
     ap.add_argument("--decontam-ngram", type=int, default=8)
+    # span knobs
+    ap.add_argument("--min-len", type=int, default=50)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -128,7 +134,7 @@ def main() -> None:
                 for r in index.search(args.terms.split(","), topk=10).collect()
             ]
         print(json.dumps(out))
-    else:
+    elif args.kind == "decontam":
         from aktuell_spark.streaming.decontam_index import (
             run_decontam_index_stream,
         )
@@ -144,6 +150,18 @@ def main() -> None:
         print(json.dumps({
             "kind": "decontam",
             "contaminated_docs": index.contamination().count(),
+        }))
+    else:
+        from aktuell_spark.streaming.span_index import run_span_index_stream
+
+        query, index = run_span_index_stream(
+            spark, args.feed, args.root, args.checkpoint,
+            min_len=args.min_len, **common,
+        )
+        if args.continuous:
+            query.awaitTermination()
+        print(json.dumps({
+            "kind": "span", "spans": index.spans().count(),
         }))
 
 

@@ -218,3 +218,24 @@ def test_expire_then_keep_streaming(spark, tmp_path):
     final = [*ROWS, (5, ROWS[2][1])]
     assert _got(index) == _want(spark, final)
     assert {r[0] for r in _got(index)} >= {3, 5}
+
+
+def test_cleaned_matches_batch_strip(spark, tmp_path):
+    from aktuell_spark.functions.dedupe import strip_repeated_spans
+
+    base = str(tmp_path)
+    seqd = [(i, t, i) for i, t in ROWS]
+    _write(spark, base, seqd[:2])
+    _write(spark, base, seqd[2:])
+    index = _run(spark, base)
+    want = sorted(
+        map(
+            tuple,
+            strip_repeated_spans(
+                spark.createDataFrame(ROWS, "doc_id long, text string"),
+                min_len=L,
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, index.cleaned().collect())) == want
+    assert any(r[2] > 0 for r in want), "nothing stripped; vacuous"
