@@ -323,8 +323,13 @@ class StreamingSpanIndex:
                 )
             )
 
-            # transition classes partition the touched grams, so no
-            # (doc, pos) key can receive both a mark and an unmark
+            # transition classes partition the touched GRAMS — but not
+            # the (doc, pos) KEYS: an updated document reuses positions,
+            # so one key can get a mark from its NEW gram and an unmark
+            # from its OLD gram in the same epoch (e.g. the old gram
+            # drops 2→1 while the new gram rises 1→2). Marks always
+            # assert the current truth ("the gram now at p is
+            # repeated"), so marks take precedence (see below).
             up = cnts.filter((F.col("_old") < 2) & (F.col("_new") >= 2)).select("gh")
             down = cnts.filter((F.col("_old") >= 2) & (F.col("_new") < 2)).select("gh")
             steady = cnts.filter((F.col("_old") >= 2) & (F.col("_new") >= 2)).select("gh")
@@ -344,10 +349,15 @@ class StreamingSpanIndex:
                 removed.join(steady, "gh").select("doc_id", "pos")
                 .unionByName(standing.join(down, "gh").select("doc_id", "pos"))
             )
-            marked_ops = _ops(
-                marks.dropDuplicates(["doc_id", "pos"]), "insert"
-            ).unionByName(
-                _ops(unmarks.dropDuplicates(["doc_id", "pos"]), "delete")
+            marks_d = _pin(marks.dropDuplicates(["doc_id", "pos"]))
+            # marks win key conflicts: every mark source implies the
+            # key's CURRENT gram is repeated after this epoch, while an
+            # unmark may be driven by the key's REPLACED gram
+            unmarks_d = unmarks.dropDuplicates(["doc_id", "pos"]).join(
+                marks_d, ["doc_id", "pos"], "left_anti"
+            )
+            marked_ops = _ops(marks_d, "insert").unionByName(
+                _ops(unmarks_d, "delete")
             )
 
             self.positions.merge_batch(pos_ops, epoch_id)
