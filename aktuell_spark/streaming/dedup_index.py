@@ -165,22 +165,58 @@ class StreamingDedupIndex:
 
         # latest row per doc within the batch, with the persisted
         # verification metadata: n_sh = distinct-shingle count (same
-        # expression the shared shingle stage uses), doc_seq = seq copy
-        batch = _pin(
+        # expression the shared shingle stage uses, null/empty-guarded
+        # like decontam_index's — size(NULL) is -1), doc_seq = seq copy
+        arriving = _pin(
             batch_df.select("doc_id", "text", "seq")
             .groupBy("doc_id")
             .agg(F.max(F.struct("seq", "text")).alias("w"))
             .select(
                 "doc_id",
                 F.col("w.text").alias("text"),
-                F.size(
-                    F.array_distinct(_token_ngrams(F.col("w.text"), self.n))
+                F.greatest(
+                    F.size(
+                        F.array_distinct(_token_ngrams(F.col("w.text"), self.n))
+                    ),
+                    F.lit(0),
                 ).cast("long").alias("n_sh"),
                 F.col("w.seq").alias("doc_seq"),
                 F.col("w.seq").alias("seq"),
             )
         )
         try:
+            # stale-redelivery gate (the same one the bm25/decontam/span
+            # indexes apply): an out-of-order redelivery whose seq is <=
+            # the standing doc_seq must not probe, retract, or index —
+            # its text is older than the standing corpus. One 2-column
+            # standing scan past a broadcast key filter; ``updated`` is
+            # only the ids GENUINELY replacing a standing doc.
+            batch_keys = arriving.select("doc_id")
+            standing_empty = self.docs._read_raw() is None  # listing only
+            updated: list[int] = []
+            if not standing_empty:
+                st = (
+                    self.docs.read()
+                    .select("doc_id", F.col("doc_seq").alias("_st_seq"))
+                    .join(F.broadcast(batch_keys), "doc_id", "left_semi")
+                )
+                joined = _pin(arriving.join(F.broadcast(st), "doc_id", "left"))
+                batch = _pin(
+                    joined.filter(
+                        F.col("_st_seq").isNull()
+                        | (F.col("seq") > F.col("_st_seq"))
+                    ).drop("_st_seq")
+                )
+                updated = [
+                    r[0]
+                    for r in joined.filter(
+                        F.col("_st_seq").isNotNull()
+                        & (F.col("seq") > F.col("_st_seq"))
+                    ).select("doc_id").collect()
+                ]
+                batch_keys = batch.select("doc_id")
+            else:
+                batch = arriving
             new_bands = _pin(
                 band_table(
                     minhash_signatures(
@@ -213,27 +249,14 @@ class StreamingDedupIndex:
                 )
                 .distinct()
             )
-            # redelivered docs: ids already standing → their existing
-            # pairs are stale. Any such pair that still band-collides on
-            # the CURRENT signatures is rediscovered by the probe join
-            # above (its updated member is in new_bands), so verifying
-            # ``cand`` alone reproduces the batch LSH sweep on the
-            # latest corpus exactly; standing pairs of updated docs that
-            # do NOT re-verify get tombstones. The redelivery check is a
-            # column-pruned id-only semi-join (never reads text); the
-            # collected id list is |batch|-bounded metadata.
-            batch_keys = batch.select("doc_id")
-            standing_empty = self.docs._read_raw() is None  # listing only
-            if not standing_empty:
-                updated = [
-                    r[0]
-                    for r in self.docs.read()
-                    .select("doc_id")
-                    .join(F.broadcast(batch_keys), "doc_id", "left_semi")
-                    .collect()
-                ]
-            else:
-                updated = []
+            # updated docs (ids genuinely replacing a standing doc, per
+            # the gate above): their existing pairs are stale. Any such
+            # pair that still band-collides on the CURRENT signatures is
+            # rediscovered by the probe join above (its updated member
+            # is in new_bands), so verifying ``cand`` alone reproduces
+            # the batch LSH sweep on the latest corpus exactly; standing
+            # pairs of updated docs that do NOT re-verify get
+            # tombstones.
             if updated:
                 old_pairs = _pin(
                     self.pairs.read()
@@ -260,21 +283,14 @@ class StreamingDedupIndex:
             standing_c = self._fetch_docs(sorted(need_ids)).select(
                 "doc_id", "text", "n_sh", "doc_seq"
             )
-            # latest text per doc: batch rows carry their feed seq,
-            # standing rows their persisted doc_seq — max-by resolves a
-            # redelivery on either side; struct max keeps ties
-            # deterministic
+            # latest text per doc: the gate already dropped batch rows
+            # older than standing state, and need_ids excludes batch
+            # ids, so the two sides are DISJOINT one-row-per-doc sets —
+            # a plain union, no LWW collapse shuffle needed
             corpus = _pin(
                 standing_c.unionByName(
                     batch.select("doc_id", "text", "n_sh", "doc_seq")
-                )
-                .groupBy("doc_id")
-                .agg(F.max(F.struct("doc_seq", "text", "n_sh")).alias("w"))
-                .select(
-                    "doc_id",
-                    F.col("w.text").alias("text"),
-                    F.col("w.n_sh").alias("n_sh"),
-                )
+                ).select("doc_id", "text", "n_sh")
             )
             verified = _pin(
                 verify_jaccard(
@@ -300,17 +316,33 @@ class StreamingDedupIndex:
                     .withColumn("op", F.lit("delete"))
                 )
                 pair_ops = pair_ops.unionByName(retract)
-            self.pairs.merge_batch(
-                pair_ops.withColumn("seq", epoch_seq), epoch_id
-            )
+            # pairs and bands merge CONCURRENTLY (guide-§2.6 job
+            # overlap): their ops plans read only pinned batch-side
+            # data plus their OWN table's pre-swap files (read inside
+            # their own job1, before their own swap), so neither can
+            # observe the other's rewrite; replay tolerates either
+            # committing alone (the probe's candidate set is
+            # distinct-deduped, so re-probing against its own new bands
+            # is a no-op). ``docs`` still merges LAST — the next
+            # epoch's stale-redelivery gate reads its current state as
+            # the pre-epoch image.
+            from concurrent.futures import ThreadPoolExecutor
+
+            bands_ops = new_bands.join(
+                batch.select("doc_id", "seq"), "doc_id"
+            ).withColumn("op", F.lit("insert"))
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(
+                        self.pairs.merge_batch,
+                        pair_ops.withColumn("seq", epoch_seq), epoch_id,
+                    ),
+                    pool.submit(self.bands.merge_batch, bands_ops, epoch_id),
+                ]
+                for f in futs:
+                    f.result()
             self.docs.merge_batch(
                 batch.withColumn("op", F.lit("insert")), epoch_id
-            )
-            self.bands.merge_batch(
-                new_bands.join(
-                    batch.select("doc_id", "seq"), "doc_id"
-                ).withColumn("op", F.lit("insert")),
-                epoch_id,
             )
         finally:
             for df in pins:

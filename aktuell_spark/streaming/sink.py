@@ -575,13 +575,26 @@ class BucketedUpsertTable:
         self,
         buckets: list[int] | None = None,
         as_of_epoch: int | None = None,
+        semi_filter: tuple[DataFrame, str] | None = None,
     ) -> DataFrame | None:
+        """``semi_filter=(keys_df, col)``: left-semi filter on
+        ``col`` applied BEFORE the merge-on-read collapse, so a probe
+        restricted to a key subset collapses only that subset's rows
+        instead of the whole bucket scan (the collapse is per-key LWW
+        and ``col`` must be part of the key, so dropping whole key
+        groups up front cannot change any surviving row). Ignored
+        semantics-free on copy-on-write state (no collapse; the caller
+        filters after)."""
         if as_of_epoch is not None and not self.merge_on_read:
             if self.cow_retain_epochs > 0:
-                return self._read_cow_as_of(
+                out = self._read_cow_as_of(
                     as_of_epoch,
                     buckets=set(buckets) if buckets is not None else None,
                 )
+                if out is not None and semi_filter is not None:
+                    keys_df, col = semi_filter
+                    out = out.join(keys_df.select(col), col, "left_semi")
+                return out
             raise ValueError(
                 "as_of_epoch requires merge_on_read=True (copy-on-write "
                 "epochs rewrite buckets in place; history is not kept) — "
@@ -655,6 +668,12 @@ class BucketedUpsertTable:
             for c in missing:
                 df = df.withColumn(c, F.lit(None).cast(schema[c]))
         df = df.select(*self.state_cols, *extra, "bucket")
+        if semi_filter is not None:
+            # no broadcast hint: AQE broadcasts a small key set and
+            # falls back to a shuffle semi-join for a huge one (the
+            # collapse below shuffles anyway, so nothing is lost)
+            keys_df, col = semi_filter
+            df = df.join(keys_df.select(col), col, "left_semi")
         if self.merge_on_read:
             # epoch files are un-merged LSM runs: collapse to one row per
             # key at read time; rows at or below the drop floor are dead

@@ -74,13 +74,13 @@ SPAN_FEED_SCHEMA = T.StructType([
 ])
 
 _POSITIONS_SCHEMA = T.StructType([
-    T.StructField("gh", T.StringType()),
+    T.StructField("gh", T.LongType()),
     T.StructField("doc_id", T.LongType()),
     T.StructField("pos", T.IntegerType()),
 ])
 
 _COUNTS_SCHEMA = T.StructType([
-    T.StructField("gh", T.StringType()),
+    T.StructField("gh", T.LongType()),
     T.StructField("cnt", T.LongType()),
 ])
 
@@ -175,7 +175,10 @@ class StreamingSpanIndex:
     ) -> DataFrame:
         """Pre-epoch snapshot of ``table`` restricted to the probe
         grams' buckets (dir-level pruning; the bucket-id collect is
-        bounded by n_buckets)."""
+        bounded by n_buckets) AND to the probe grams themselves — the
+        broadcast semi-filter runs BEFORE the MoR collapse, so only the
+        touched grams' rows pay the collapse shuffle, not the whole
+        bucket scan (group-preserving: gh is part of every key)."""
         if prev is None:
             return table.read().limit(0)
         buckets = sorted(
@@ -186,7 +189,9 @@ class StreamingSpanIndex:
             ).distinct().collect()
         )
         raw = (
-            table._read_raw(buckets=buckets, as_of_epoch=prev)
+            table._read_raw(
+                buckets=buckets, as_of_epoch=prev, semi_filter=(gh_df, "gh")
+            )
             if buckets else None
         )
         if raw is None:
@@ -278,24 +283,32 @@ class StreamingSpanIndex:
                 added = _pin(new_pos)
                 removed = _pin(new_pos.limit(0))
 
-            # per-gram deltas + pre-epoch counts → transition classes
-            touched = _pin(
-                added.select("gh").unionByName(removed.select("gh")).distinct()
-            )
+            # per-gram deltas + pre-epoch counts → transition classes.
+            # The touched-gram set IS the delta join's key set: one
+            # full-outer join of the two per-gram delta aggregates
+            # replaces the earlier union+distinct of raw sites plus
+            # three left joins (two fewer 600k-row shuffles per epoch);
+            # insert-only epochs (the common case) carry an empty
+            # removed side through for free.
             d_add = added.groupBy("gh").agg(F.count(F.lit(1)).alias("_a"))
             d_rem = removed.groupBy("gh").agg(F.count(F.lit(1)).alias("_r"))
+            touched = _pin(
+                d_add.join(d_rem, "gh", "full_outer").select(
+                    "gh",
+                    F.coalesce(F.col("_a"), F.lit(0)).alias("_a"),
+                    F.coalesce(F.col("_r"), F.lit(0)).alias("_r"),
+                )
+            )
             old_counts = self._asof_pruned(self.counts, prev_cnt, touched)
             cnts = _pin(
                 touched.join(old_counts, "gh", "left")
-                .join(d_add, "gh", "left")
-                .join(d_rem, "gh", "left")
                 .select(
                     "gh",
                     F.coalesce(F.col("cnt"), F.lit(0)).alias("_old"),
                     (
                         F.coalesce(F.col("cnt"), F.lit(0))
-                        + F.coalesce(F.col("_a"), F.lit(0))
-                        - F.coalesce(F.col("_r"), F.lit(0))
+                        + F.col("_a")
+                        - F.col("_r")
                     ).cast("long").alias("_new"),
                 )
             )
@@ -333,6 +346,9 @@ class StreamingSpanIndex:
             up = cnts.filter((F.col("_old") < 2) & (F.col("_new") >= 2)).select("gh")
             down = cnts.filter((F.col("_old") >= 2) & (F.col("_new") < 2)).select("gh")
             steady = cnts.filter((F.col("_old") >= 2) & (F.col("_new") >= 2)).select("gh")
+            # up ∪ steady ≡ grams repeated AFTER this epoch (_new >= 2):
+            # ONE added-side join replaces the former two legs
+            rep_new = cnts.filter(F.col("_new") >= 2).select("gh")
             trans = _pin(up.unionByName(down).distinct())
             # standing sites are read ONLY for grams that actually cross
             # the threshold — pre-epoch snapshot, bucket-pruned
@@ -342,8 +358,7 @@ class StreamingSpanIndex:
                 standing.join(up, "gh")
                 .join(removed, key3, "left_anti")  # site gone this epoch
                 .select("doc_id", "pos")
-                .unionByName(added.join(up, "gh").select("doc_id", "pos"))
-                .unionByName(added.join(steady, "gh").select("doc_id", "pos"))
+                .unionByName(added.join(rep_new, "gh").select("doc_id", "pos"))
             )
             unmarks = (
                 removed.join(steady, "gh").select("doc_id", "pos")
@@ -360,9 +375,33 @@ class StreamingSpanIndex:
                 _ops(unmarks_d, "delete")
             )
 
-            self.positions.merge_batch(pos_ops, epoch_id)
-            self.counts.merge_batch(cnt_ops, epoch_id)
-            self.marked.merge_batch(marked_ops, epoch_id)
+            # populate the shared persisted intermediates ONCE before
+            # forking: the three merges all read added/removed/cnts/
+            # marks_d, and concurrent first-touch would race to compute
+            # the same cache blocks in each thread (measured as every
+            # merge paying the full gram-explode cost at epoch 0)
+            cnts.count()
+            marks_d.count()
+            # the three MoR tables merge CONCURRENTLY (guide-§2.6
+            # job overlap: each merge is one small bucketed write job,
+            # and the tail of one merge leaves most cores idle for the
+            # next): appends never delete files, every standing read in
+            # the ops plans is an as-of-previous snapshot over a path
+            # list fixed at plan time, and replay tolerates ANY subset
+            # of the three committing (as-of-previous reads are the
+            # point) — only ``docs`` must still merge LAST, because the
+            # next epoch's stale-redelivery gate reads its current
+            # state as the pre-epoch image.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(self.positions.merge_batch, pos_ops, epoch_id),
+                    pool.submit(self.counts.merge_batch, cnt_ops, epoch_id),
+                    pool.submit(self.marked.merge_batch, marked_ops, epoch_id),
+                ]
+                for f in futs:
+                    f.result()
             self.docs.merge_batch(
                 _ops(
                     batch.select(
