@@ -9,18 +9,26 @@ the SAME epoch id (idempotent crash/replay, like the dedup index):
 - ``postings`` — (term, doc_id) → tf: the inverted index proper,
   BUCKETED BY TERM so a query's candidate set is a bucket-pruned
   ``lookup_many`` on its terms — search IO is O(query terms' posting
-  lists), never the corpus;
-- ``docs``    — doc_id → (dl, doc_seq): per-document token length, the
-  BM25 length-normalization side (plus N/avgdl corpus stats — a
-  2-column, column-pruned scan at search time; a production deployment
-  would additionally fold N/avgdl into a running 1-row aggregate).
+  lists), never the corpus — and MERGE-ON-READ, because term inserts
+  hash into every bucket (a typical batch carries hundreds of distinct
+  terms), so a copy-on-write epoch would rewrite essentially the whole
+  inverted index; MoR appends O(batch) run files instead and
+  ``compact()`` folds them on the maintenance cadence;
+- ``docs``    — doc_id → (dl, doc_seq, terms): per-document token
+  length, the BM25 length-normalization side (plus N/avgdl corpus
+  stats — a 2-column, column-pruned scan at search time; a production
+  deployment would additionally fold N/avgdl into a running 1-row
+  aggregate), and the doc's distinct term set — the PRE-IMAGE an
+  update epoch's retraction derives stale postings from.
 
 Per micro-batch: arriving docs are tokenized IN-STREAM with the exact
 expression the batch ``bm25_topk`` uses (lower/trim/split), reduced to
 per-(doc, term) tf rows — narrow + one map-side-combinable groupBy —
 and merged. A redelivered doc LWW-replaces its postings; terms its new
-text no longer contains get tombstones (the retraction check is gated
-on redelivery — insert-only epochs never scan the postings table).
+text no longer contains get tombstones derived from the stored term
+set (bucket-pruned docs lookups, |updated|-bounded — the retraction
+never scans the term-bucketed postings table; insert-only epochs skip
+it entirely).
 
 ``search`` pulls the query terms' postings (bucket-pruned), joins
 document lengths, and runs the SAME shared scoring stage
@@ -61,7 +69,16 @@ _DOCS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("dl", T.DoubleType()),
     T.StructField("doc_seq", T.LongType()),
+    # the doc's DISTINCT term set — the pre-image an update epoch's
+    # retraction re-derives stale postings from (bucket-pruned doc
+    # lookups, |updated|-bounded), instead of a doc_id filter over the
+    # term-bucketed postings table (a full inverted-index scan)
+    T.StructField("terms", T.ArrayType(T.StringType())),
 ])
+
+# lookup_many builds a literal IN-list; past this many ids, degrade to
+# one broadcast-semi-join scan (same constant as the sibling indexes)
+_MAX_LOOKUP_IDS = 512
 
 
 def _tokens(text_col):
@@ -79,17 +96,47 @@ class StreamingBM25Index:
         n_buckets: int = 16,
     ) -> None:
         self.spark = spark
+        # postings is MERGE-ON-READ: term inserts hash into every
+        # bucket (a typical batch carries hundreds of distinct terms),
+        # so a copy-on-write epoch would rewrite essentially the whole
+        # inverted index — the exact CoW-rewrite hazard the
+        # decontamination index's train_grams analysis spells out
+        # (decontam_index.py). MoR appends O(batch) run files instead;
+        # search reads stay bucket-pruned with the term predicate
+        # pushed below the run collapse, and ``compact()`` /
+        # ``expire_runs()`` fold runs on the operator's maintenance
+        # cadence (maybe_compact bounds read amplification).
         self.postings = BucketedUpsertTable(
             spark, os.path.join(root, "postings"), n_buckets=n_buckets,
             key=("term", "doc_id"), payload=("term", "doc_id", "tf"),
             order_col="seq", bucket_key="term",
             payload_schema=_POSTINGS_SCHEMA,
+            merge_on_read=True,
         )
         self.docs = BucketedUpsertTable(
             spark, os.path.join(root, "docs"), n_buckets=n_buckets,
-            key=("doc_id",), payload=("doc_id", "dl", "doc_seq"),
+            key=("doc_id",), payload=("doc_id", "dl", "doc_seq", "terms"),
             order_col="seq", payload_schema=_DOCS_SCHEMA,
         )
+
+    def compact(self) -> None:
+        """Fold the postings run files back toward one file per bucket
+        (read-amplification maintenance; call on the ingest cadence —
+        off the hot path, like the decontam index's)."""
+        self.postings.compact(tombstone_horizon=self.postings.drop_floor() or 0)
+
+    def _fetch_docs(self, ids: list[int]) -> DataFrame:
+        """Standing docs for an explicit id set: bucket-pruned
+        lookup_many up to _MAX_LOOKUP_IDS, then one broadcast-semi-join
+        scan — never a scan of the term-bucketed postings table."""
+        if not ids:
+            return self.docs.read().limit(0)
+        if len(ids) <= _MAX_LOOKUP_IDS:
+            return self.docs.lookup_many(ids)
+        id_df = self.spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id long"
+        )
+        return self.docs.read().join(F.broadcast(id_df), "doc_id", "left_semi")
 
     def merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.postings.is_committed(epoch_id) and self.docs.is_committed(
@@ -165,9 +212,15 @@ class StreamingBM25Index:
             epoch_seq = F.lit(int(epoch_id)).cast("long")
             ops = new_postings.withColumn("op", F.lit("insert"))
             if updated:
+                # retraction from the stored doc PRE-IMAGE (the span
+                # index's pattern): the updated docs' old term sets come
+                # from a bucket-pruned docs lookup — |updated|-bounded —
+                # never from a doc_id filter over the term-bucketed
+                # postings table (which no bucket pruning can help and
+                # would scan the whole inverted index per redelivery)
                 stale = (
-                    self.postings.read()
-                    .filter(F.col("doc_id").isin(updated))
+                    self._fetch_docs(sorted(updated))
+                    .select("doc_id", F.explode("terms").alias("term"))
                     .select("term", "doc_id")
                     .join(
                         new_postings.select("term", "doc_id"),
@@ -184,6 +237,7 @@ class StreamingBM25Index:
                     "doc_id",
                     F.size(_tokens(F.col("text"))).cast("double").alias("dl"),
                     F.col("seq").alias("doc_seq"),
+                    F.array_distinct(_tokens(F.col("text"))).alias("terms"),
                     "seq",
                 ).withColumn("op", F.lit("insert")),
                 epoch_id,

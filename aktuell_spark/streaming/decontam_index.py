@@ -33,7 +33,7 @@ per micro-batch under the SAME epoch id:
   collapse it with one groupBy(doc_id); its size is bounded by actual
   contamination volume, not the corpus.
 
-Gram hashes are the batch operator's 16-hex md5 prefixes and the gram
+Gram hashes are the batch operator's 64-bit xxhash64 keys and the gram
 builder is the shared shifted-slice fold (_token_ngrams) — parity is
 the point: ``contamination()`` must equal the batch
 ``contamination_overlap`` sweep on the final corpus, pinned across
@@ -64,7 +64,7 @@ DECONTAM_FEED_SCHEMA = T.StructType([
 ])
 
 _GRAMS_SCHEMA = T.StructType([
-    T.StructField("gh", T.StringType()),
+    T.StructField("gh", T.LongType()),
     T.StructField("doc_id", T.LongType()),
 ])
 
@@ -78,7 +78,7 @@ _DOCS_SCHEMA = T.StructType([
 
 _HITS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
-    T.StructField("gh", T.StringType()),
+    T.StructField("gh", T.LongType()),
 ])
 
 # lookup_many keeps its key IN-list a pushed parquet filter; past this,
@@ -88,13 +88,14 @@ _MAX_LOOKUP_IDS = 512
 
 
 def _gram_hashes(text_col: Column, n: int) -> Column:
-    """Distinct word n-gram 16-hex md5 prefixes — the batch operator's
-    hash (contamination_overlap, dedupe.py:366-373), verbatim."""
+    """Distinct word n-gram 64-bit xxhash64 keys — the batch operator's
+    hash (contamination_overlap), verbatim; internal only (reports
+    carry counts, never hashes)."""
     from aktuell_spark.functions.dedupe import _token_ngrams
 
     return F.transform(
         F.array_distinct(_token_ngrams(text_col, n)),
-        lambda g: F.substring(F.md5(g), 1, 16),
+        lambda g: F.xxhash64(g),
     )
 
 
@@ -255,8 +256,11 @@ class StreamingDecontamIndex:
             )
             bt = grams_b.filter(~F.col("is_bench")).select("doc_id", "gh")
             bb = grams_b.filter(F.col("is_bench")).select("doc_id", "gh")
-            have_bt = not bt.isEmpty()
-            have_bb = not bb.isEmpty()
+            # count (not isEmpty): fully populates the grams_b cache
+            # before the concurrent merges below, so they never race to
+            # materialize the same blocks
+            have_bt = bt.count() > 0
+            have_bb = bb.count() > 0
             epoch_seq = F.lit(int(epoch_id)).cast("long")
 
             def _ops(df: DataFrame, op: str) -> DataFrame:
@@ -391,9 +395,26 @@ class StreamingDecontamIndex:
             # not enough; the first action must happen now)
             hits_ops = hits_ops.localCheckpoint()
 
-            self.train_grams.merge_batch(tg_ops, epoch_id)
-            self.bench_grams.merge_batch(bg_ops, epoch_id)
-            self.hits.merge_batch(hits_ops, epoch_id)
+            # the three evidence tables merge CONCURRENTLY (guide-§2.6
+            # job overlap): every ops plan reads only pinned/checkpointed
+            # batch-side data (hits_ops is checkpointed above precisely
+            # so the CoW rewrites cannot invalidate it), and replay
+            # tolerates any subset committing — the probe legs
+            # re-reading a table that already holds this epoch's rows
+            # produce the same hit set (dedup + the batch-doc anti
+            # joins make the overlap idempotent). ``docs`` still merges
+            # LAST: the next epoch's stale-redelivery gate reads its
+            # current state as the pre-epoch image.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(self.train_grams.merge_batch, tg_ops, epoch_id),
+                    pool.submit(self.bench_grams.merge_batch, bg_ops, epoch_id),
+                    pool.submit(self.hits.merge_batch, hits_ops, epoch_id),
+                ]
+                for f in futs:
+                    f.result()
             self.docs.merge_batch(
                 _ops(
                     batch.select(

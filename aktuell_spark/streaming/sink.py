@@ -308,18 +308,28 @@ class BucketedUpsertTable:
         )
 
     def _lookup_buckets(self, buckets, vals, as_of_epoch) -> DataFrame:
+        pred = (
+            F.col(self.bucket_key).isin(vals)
+            if len(vals) > 1 else F.col(self.bucket_key) == F.lit(vals[0])
+        )
         if as_of_epoch is not None and not self.merge_on_read:
             # CoW retention reconstructs from aside dirs; bucket-pruning
             # that path is not wired — keep correctness, lose pruning
             raw = self._read_raw(as_of_epoch=as_of_epoch)
         else:
-            raw = self._read_raw(buckets=sorted(buckets), as_of_epoch=as_of_epoch)
+            # the key predicate goes BELOW the merge-on-read collapse
+            # (pre_pred): it is key-determined, so dropping whole key
+            # groups first cannot change any surviving row — and only
+            # the looked-up keys' rows pay the run-collapse shuffle
+            # instead of every row of the touched buckets. It lands
+            # directly above the parquet scan, so PushedFilters carries
+            # it into row-group skipping as before.
+            raw = self._read_raw(
+                buckets=sorted(buckets), as_of_epoch=as_of_epoch,
+                pre_pred=pred,
+            )
         if raw is None:
             return self.read().limit(0)
-        pred = (
-            F.col(self.bucket_key).isin(vals)
-            if len(vals) > 1 else F.col(self.bucket_key) == F.lit(vals[0])
-        )
         return (
             raw.filter(pred)
             .filter(F.col("op") != "delete")
@@ -576,6 +586,7 @@ class BucketedUpsertTable:
         buckets: list[int] | None = None,
         as_of_epoch: int | None = None,
         semi_filter: tuple[DataFrame, str] | None = None,
+        pre_pred=None,
     ) -> DataFrame | None:
         """``semi_filter=(keys_df, col)``: left-semi filter on
         ``col`` applied BEFORE the merge-on-read collapse, so a probe
@@ -584,13 +595,17 @@ class BucketedUpsertTable:
         and ``col`` must be part of the key, so dropping whole key
         groups up front cannot change any surviving row). Ignored
         semantics-free on copy-on-write state (no collapse; the caller
-        filters after)."""
+        filters after). ``pre_pred`` is the literal-predicate cousin
+        (same group-preservation contract, but a plain Column pushed
+        into the parquet scan)."""
         if as_of_epoch is not None and not self.merge_on_read:
             if self.cow_retain_epochs > 0:
                 out = self._read_cow_as_of(
                     as_of_epoch,
                     buckets=set(buckets) if buckets is not None else None,
                 )
+                if out is not None and pre_pred is not None:
+                    out = out.filter(pre_pred)
                 if out is not None and semi_filter is not None:
                     keys_df, col = semi_filter
                     out = out.join(keys_df.select(col), col, "left_semi")
@@ -668,6 +683,8 @@ class BucketedUpsertTable:
             for c in missing:
                 df = df.withColumn(c, F.lit(None).cast(schema[c]))
         df = df.select(*self.state_cols, *extra, "bucket")
+        if pre_pred is not None:
+            df = df.filter(pre_pred)
         if semi_filter is not None:
             # no broadcast hint: AQE broadcasts a small key set and
             # falls back to a shuffle semi-join for a huge one (the

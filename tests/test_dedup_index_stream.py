@@ -170,3 +170,37 @@ def test_epoch_cost_is_candidate_bounded(spark, tmp_path, monkeypatch):
         f"shingle-stage input {max(seen_sizes)} rows — corpus-"
         f"proportional work leaked into the epoch (standing={n_standing})"
     )
+
+
+def test_stale_redelivery_is_ignored(spark, tmp_path):
+    """ADVICE r7 (high): an out-of-order redelivery whose seq is BELOW
+    the standing doc_seq must be dropped by the gate — it must neither
+    re-probe with the stale text nor tombstone standing pairs that are
+    still valid on the latest corpus (the same gate the bm25/decontam/
+    span indexes apply)."""
+    base = str(tmp_path)
+    ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tb = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    _write_gen(spark, [(1, ta, 10), (2, tb, 20)], f"{base}/feed")
+    _, index = run_dedup_index_stream(
+        spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt",
+        threshold=0.2, n_buckets=8,
+    )
+    want = _pairs(index.found_pairs())
+    assert (1, 2) in {(a, b) for a, b, _ in want}
+
+    # stale redelivery of doc 1 with UNRELATED text at an OLDER seq:
+    # the latest corpus is unchanged, so the pair set must not move
+    # and the docs table must keep the latest text
+    _write_gen(
+        spark,
+        [(1, "zero unrelated words that share nothing at all here", 5)],
+        f"{base}/feed",
+    )
+    _, index = run_dedup_index_stream(
+        spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt",
+        threshold=0.2, n_buckets=8,
+    )
+    assert _pairs(index.found_pairs()) == want
+    kept = {r[0]: r[1] for r in index.docs.read().select("doc_id", "text").collect()}
+    assert kept[1] == ta
