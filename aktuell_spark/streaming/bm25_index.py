@@ -113,10 +113,16 @@ class StreamingBM25Index:
             payload_schema=_POSTINGS_SCHEMA,
             merge_on_read=True,
         )
+        # docs is corpus-sized and doc-bucketed — every batch touches
+        # every bucket, so CoW would rewrite the whole table per epoch;
+        # MoR appends O(batch) runs, the gate/pre-image lookups push
+        # their key sets below the run collapse, and search's stats
+        # scan collapses once per query (compaction cadence bounds it)
         self.docs = BucketedUpsertTable(
             spark, os.path.join(root, "docs"), n_buckets=n_buckets,
             key=("doc_id",), payload=("doc_id", "dl", "doc_seq", "terms"),
             order_col="seq", payload_schema=_DOCS_SCHEMA,
+            merge_on_read=True,
         )
 
     def compact(self) -> None:
@@ -170,15 +176,11 @@ class StreamingBM25Index:
             updated: list[int] = []
             if not standing_empty:
                 st_small = (
-                    self.docs.read()
+                    # read_where: the batch-key restriction runs below
+                    # the MoR run collapse (and prunes bucket dirs), so
+                    # the gate collapses only the overlapping ids' rows
+                    self.docs.read_where(arriving.select("doc_id"), "doc_id")
                     .select("doc_id", F.col("doc_seq").alias("_st_seq"))
-                    # batch-bounded: the standing scan streams past the
-                    # broadcast key filter, only matching rows survive
-                    .join(
-                        F.broadcast(arriving.select("doc_id")),
-                        "doc_id",
-                        "left_semi",
-                    )
                 )
                 joined = _pin(arriving.join(F.broadcast(st_small), "doc_id", "left"))
                 batch = _pin(

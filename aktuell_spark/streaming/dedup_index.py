@@ -7,8 +7,10 @@ Three exactly-once tables under one root, all merged per micro-batch
 under the SAME epoch id (each has its own commit marker, so a crash
 between merges replays idempotently):
 
-- ``bands``  — (doc_id, band_idx) → band_key: the LSH index proper.
-  LWW by seq, so a re-sent doc replaces its band rows atomically.
+- ``bands``  — (doc_id, band_idx) → band_key: the LSH index proper,
+  BUCKETED BY band_key (the probe's search key) and merge-on-read.
+  LWW by seq; a re-sent doc's old rows in OTHER buckets are tombstoned
+  from the docs pre-image (re-banded old text).
 - ``docs``   — doc_id → (text, n_sh, doc_seq): the corpus side the
   exact-Jaccard verification reads. ``n_sh`` (distinct-shingle count)
   is computed IN-STREAM at ingest and persisted, so verification never
@@ -118,15 +120,32 @@ class StreamingDedupIndex:
         self.spark = spark
         self.n, self.threshold = n, threshold
         self.num_perm, self.num_bands = num_perm, num_bands
+        # bands is BUCKETED BY BAND_KEY (the probe's search key, VERDICT
+        # r7 #3): the per-epoch probe prunes to the batch's band-key
+        # buckets plus a pre-collapse semi-filter on the keys
+        # themselves, so probe IO is O(batch band keys' postings), not
+        # O(standing index). That also forces MERGE-ON-READ: band keys
+        # hash into every bucket, so a CoW epoch would rewrite the whole
+        # corpus-sized bands table (the BM25-postings hazard). A
+        # redelivered doc's OLD band rows are tombstoned from the docs
+        # pre-image (re-banded old text) — needed because its new band
+        # keys land in different buckets, so LWW alone can't replace
+        # them.
         self.bands = BucketedUpsertTable(
             spark, os.path.join(root, "bands"), n_buckets=n_buckets,
             key=("doc_id", "band_idx"), payload=("doc_id", "band_idx", "band_key"),
-            order_col="seq", payload_schema=_BANDS_SCHEMA,
+            order_col="seq", bucket_key="band_key",
+            payload_schema=_BANDS_SCHEMA, merge_on_read=True,
         )
+        # docs is corpus-sized and doc-bucketed — every batch touches
+        # every bucket, so it is MoR for the same reason (the gate and
+        # the verification lookups push their key sets below the run
+        # collapse; compact() folds runs on the maintenance cadence)
         self.docs = BucketedUpsertTable(
             spark, os.path.join(root, "docs"), n_buckets=n_buckets,
             key=("doc_id",), payload=("doc_id", "text", "n_sh", "doc_seq"),
             order_col="seq", payload_schema=_DOCS_SCHEMA,
+            merge_on_read=True,
         )
         self.pairs = BucketedUpsertTable(
             spark, os.path.join(root, "pairs"), n_buckets=n_buckets,
@@ -196,9 +215,11 @@ class StreamingDedupIndex:
             updated: list[int] = []
             if not standing_empty:
                 st = (
-                    self.docs.read()
+                    # read_where: the batch-key restriction runs BELOW
+                    # the MoR run collapse, so the gate collapses only
+                    # the overlapping ids' rows, never the whole table
+                    self.docs.read_where(batch_keys, "doc_id")
                     .select("doc_id", F.col("doc_seq").alias("_st_seq"))
-                    .join(F.broadcast(batch_keys), "doc_id", "left_semi")
                 )
                 joined = _pin(arriving.join(F.broadcast(st), "doc_id", "left"))
                 batch = _pin(
@@ -228,10 +249,13 @@ class StreamingDedupIndex:
             )
             # probe: arriving bands vs (standing index ∪ this batch) —
             # one equi-join on the band key; the standing side never
-            # self-joins, so per-epoch cost is |batch|-proportional
-            standing = self.bands.read().select(
-                "doc_id", "band_idx", "band_key"
-            )
+            # self-joins, AND the standing read is pruned to the
+            # batch's band keys (bucket-dir pruning + pre-collapse
+            # semi-filter: bands is bucketed by band_key), so per-epoch
+            # probe IO is O(batch keys' posting lists), not O(index)
+            standing = self.bands.read_where(
+                new_bands.select("band_key").distinct(), "band_key"
+            ).select("doc_id", "band_idx", "band_key")
             all_bands = standing.unionByName(
                 new_bands.select("doc_id", "band_idx", "band_key")
             )
@@ -331,6 +355,45 @@ class StreamingDedupIndex:
             bands_ops = new_bands.join(
                 batch.select("doc_id", "seq"), "doc_id"
             ).withColumn("op", F.lit("insert"))
+            if updated:
+                # tombstone the updated docs' OLD band rows, re-derived
+                # from the stored pre-image (|updated|-bounded): the new
+                # band keys hash to different buckets, so the new
+                # inserts cannot LWW-replace the old rows. A tombstone
+                # is emitted ONLY when the old row lives in a different
+                # bucket than the doc's new row for that band_idx —
+                # when buckets coincide the new insert replaces the old
+                # row by plain LWW (same bucket+key, higher seq), and
+                # skipping the tombstone avoids an insert/delete seq
+                # tie inside one bucket.
+                nb = F.pmod(F.xxhash64("band_key"), F.lit(self.bands.n_buckets))
+                old_bands = band_table(
+                    minhash_signatures(
+                        self._fetch_docs(sorted(updated))
+                        .select("doc_id", "text"),
+                        "doc_id", "text", self.n, num_perm=self.num_perm,
+                    ),
+                    self.num_perm,
+                    self.num_bands,
+                )
+                new_buckets = new_bands.select(
+                    "doc_id", "band_idx", nb.cast("int").alias("_nb")
+                )
+                stale_bands = (
+                    old_bands.withColumn("_ob", nb.cast("int"))
+                    # LEFT join: a doc whose new text yields no bands
+                    # (too short) still tombstones every old row
+                    .join(new_buckets, ["doc_id", "band_idx"], "left")
+                    .filter(
+                        F.col("_nb").isNull()
+                        | (F.col("_ob") != F.col("_nb"))
+                    )
+                    .select("doc_id", "band_idx", "band_key")
+                )
+                bands_ops = bands_ops.unionByName(
+                    stale_bands.join(batch.select("doc_id", "seq"), "doc_id")
+                    .withColumn("op", F.lit("delete"))
+                )
             with ThreadPoolExecutor(max_workers=2) as pool:
                 futs = [
                     pool.submit(

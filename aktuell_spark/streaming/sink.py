@@ -241,6 +241,39 @@ class BucketedUpsertTable:
             return self.spark.createDataFrame([], self._state_schema()).select(*self.payload)
         return raw.filter(F.col("op") != "delete").select(*self.payload)
 
+    def read_where(self, keys_df: DataFrame, col: str) -> DataFrame:
+        """``read()`` restricted to the key values in ``keys_df[col]``,
+        with the restriction applied BELOW the merge-on-read run
+        collapse (see ``_read_raw``'s ``semi_filter``): a per-epoch
+        gate probing a batch-bounded key set pays a |matching rows|
+        collapse, never a full-table one. ``col`` must be part of the
+        table key (group-preserving). On copy-on-write state this is
+        just read-then-semi-join (no collapse to push below).
+
+        When ``col`` is the table's bucket key, directory-level pruning
+        applies too: the probe keys' bucket ids (a collect bounded by
+        n_buckets, computed from the keys — metadata, not data) restrict
+        the scan to their buckets, the same pruning lookup_many does."""
+        buckets = None
+        if col == self.bucket_key:
+            buckets = sorted(
+                r[0]
+                for r in keys_df.select(
+                    F.pmod(F.xxhash64(col), F.lit(self.n_buckets))
+                    .cast("int").alias("b")
+                ).distinct().collect()
+            )
+            if not buckets:
+                return self.spark.createDataFrame(
+                    [], self._state_schema()
+                ).select(*self.payload)
+        raw = self._read_raw(buckets=buckets, semi_filter=(keys_df, col))
+        if raw is None:
+            return self.spark.createDataFrame(
+                [], self._state_schema()
+            ).select(*self.payload)
+        return raw.filter(F.col("op") != "delete").select(*self.payload)
+
     def read_with_lineage(self, include_tombstones: bool = True) -> DataFrame:
         """Materialized state INCLUDING the order/op lineage columns
         (``state_cols`` = payload + seq + op). The seed source for

@@ -244,12 +244,11 @@ class StreamingSpanIndex:
             updated: list[int] = []
             if self.docs._read_raw() is not None:
                 st = (
-                    self.docs.read()
+                    # read_where: the batch-key restriction runs below
+                    # the MoR run collapse (and prunes bucket dirs), so
+                    # the gate collapses only the overlapping ids' rows
+                    self.docs.read_where(arriving.select("doc_id"), "doc_id")
                     .select("doc_id", F.col("doc_seq").alias("_st_seq"))
-                    .join(
-                        F.broadcast(arriving.select("doc_id")),
-                        "doc_id", "left_semi",
-                    )
                 )
                 joined = _pin(arriving.join(F.broadcast(st), "doc_id", "left"))
                 batch = _pin(
