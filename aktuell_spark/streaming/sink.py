@@ -914,9 +914,18 @@ class BucketedUpsertTable:
         # moved the full payload through two exchanges; measured 1.6x
         # slower at 18M events.
         b = b.repartition(self._write_parallelism(self.n_buckets), "bucket")
-        collapsed = collapse_last_writer_wins(
-            b, key=("bucket", *self.key, "_mk"), order_col=self.order_col
-        ).drop("_mk")
+        if self.merge_on_read:
+            # LSM runs don't need the in-batch LWW collapse: EVERY read
+            # of a MoR table already collapses per key across runs, so
+            # in-run duplicates fold there identically — skipping the
+            # aggregation keeps job 1 at shuffle+write only. (Runs grow
+            # by the in-batch duplicate rate until compaction; CoW keeps
+            # the collapse because its bucket files ARE the state.)
+            collapsed = b.drop("_mk")
+        else:
+            collapsed = collapse_last_writer_wins(
+                b, key=("bucket", *self.key, "_mk"), order_col=self.order_col
+            ).drop("_mk")
         tmp = os.path.join(self.root, f"_tmp-epoch-{epoch_id}")
         shutil.rmtree(tmp, ignore_errors=True)
         (
