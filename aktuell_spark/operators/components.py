@@ -96,21 +96,32 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("u"))
     )
-    changed = 0
-    for _ in range(max_rounds):
+    def _step(lab: DataFrame, col: str, out: str) -> DataFrame:
         nbr = (
             sym.join(
-                labels.select(F.col("u").alias("v"), "label"), "v"
+                lab.select(F.col("u").alias("v"), F.col(col).alias("_l")), "v"
             )
             .groupBy("u")
-            .agg(F.min("label").alias("nbr_min"))
+            .agg(F.min("_l").alias("_nm"))
         )
-        staged = labels.join(nbr, "u", "left").select(
-            "u",
-            "label",
-            F.least(
-                F.col("label"), F.coalesce("nbr_min", "label")
-            ).alias("new_label"),
+        return lab.join(nbr, "u", "left").withColumn(
+            out, F.least(F.col(col), F.coalesce("_nm", F.col(col)))
+        ).drop("_nm")
+
+    # TWO propagation steps per materialization+probe: labels only ever
+    # decrease (min-fold), so new_label == label after a double step
+    # iff it also held after the single step — the convergence check
+    # stays sound while the per-round driver round-trips (one
+    # localCheckpoint + one count, the latency floor on small graphs)
+    # are paid half as often; at most one propagation join is wasted.
+    changed = 0
+    for _ in range(max_rounds):
+        staged = _step(
+            _step(labels, "label", "_mid").select(
+                "u", "label", F.col("_mid")
+            ),
+            "_mid",
+            "new_label",
         ).localCheckpoint()
         changed = (
             staged.filter(F.col("new_label") < F.col("label")).limit(1).count()
