@@ -126,10 +126,11 @@ class StreamingBM25Index:
         )
 
     def compact(self) -> None:
-        """Fold the postings run files back toward one file per bucket
-        (read-amplification maintenance; call on the ingest cadence —
-        off the hot path, like the decontam index's)."""
+        """Fold the MoR tables' run files back toward one file per
+        bucket (read-amplification maintenance; call on the ingest
+        cadence — off the hot path, like the decontam index's)."""
         self.postings.compact(tombstone_horizon=self.postings.drop_floor() or 0)
+        self.docs.compact(tombstone_horizon=self.docs.drop_floor() or 0)
 
     def _fetch_docs(self, ids: list[int]) -> DataFrame:
         """Standing docs for an explicit id set: bucket-pruned

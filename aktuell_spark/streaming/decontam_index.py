@@ -148,8 +148,12 @@ class StreamingDecontamIndex:
     def compact(self) -> None:
         """Fold the MoR tables' run files back to one file per bucket
         (read-amplification maintenance; call on the ingest cadence)."""
-        self.train_grams.compact()
-        self.docs.compact()
+        # (fixed this round: compact() requires a tombstone horizon —
+        # the unparameterized calls raised TypeError when first used)
+        self.train_grams.compact(
+            tombstone_horizon=self.train_grams.drop_floor() or 0
+        )
+        self.docs.compact(tombstone_horizon=self.docs.drop_floor() or 0)
 
     # ------------------------------------------------------------------
     def _fetch_docs(self, ids: list[int]) -> DataFrame:

@@ -232,3 +232,21 @@ def test_grow_corpus_epoch_cost_stays_batch_bounded(spark, tmp_path):
     assert max(rows) <= min(rows) * 1.2 + 8, (
         f"per-epoch postings rows not flat: {rows}"
     )
+
+
+def test_compact_then_search_stays_green(spark, tmp_path):
+    """Maintenance entry point for the now-MoR postings/docs tables:
+    compact() folds the run files and the live search answers
+    identically."""
+    base = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"spark merge w{i}a w{i}b", i) for i in range(1, 40)],
+        "doc_id long, text string, seq long",
+    ).coalesce(1).write.mode("append").parquet(f"{base}/feed")
+    _, index = run_bm25_index_stream(
+        spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt", n_buckets=4,
+    )
+    before = _got(index)
+    index.compact()
+    assert _got(index) == before
+    assert index.postings.max_runs_per_bucket() <= 1

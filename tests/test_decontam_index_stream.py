@@ -201,3 +201,24 @@ def test_train_only_epochs_never_scan_training_postings(spark, tmp_path):
          (5, "more clean training text arrives here")],
     )
     assert _got(index) == want
+
+
+def test_compact_then_reads_stay_green(spark, tmp_path):
+    """Maintenance entry point: compact() folds the MoR tables' runs
+    (it previously raised TypeError — the sink's compact needs a
+    tombstone horizon) and the contamination report is unchanged."""
+    base = str(tmp_path)
+    rows = [
+        (i, f"one two three four w{i}a w{i}b", i) for i in range(1, 30)
+    ] + [(34, "one two three four shared gram here", 34)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, seq long"
+    ).coalesce(1).write.mode("append").parquet(f"{base}/feed")
+    _, index = run_decontam_index_stream(
+        spark, f"{base}/feed", f"{base}/idx", f"{base}/ckpt",
+        bench_pred=lambda c: c % 17 == 0, n=4, n_buckets=4,
+    )
+    before = sorted(map(tuple, index.contamination().collect()))
+    index.compact()
+    assert sorted(map(tuple, index.contamination().collect())) == before
+    assert index.train_grams.max_runs_per_bucket() <= 1
