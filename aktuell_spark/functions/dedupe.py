@@ -18,8 +18,13 @@ Scale design (the whole point — these must survive 100 TB):
 - SimHash: 60-bit signature via per-token hash bit-votes, one narrow
   pass + one groupBy(doc).
 
-All hashes are md5-prefix based (not Spark's murmur3) so the DuckDB
-oracles can reproduce them bit-for-bit.
+Hashes whose VALUES reach an output (minhash signatures, simhash,
+exact fingerprints) are md5-prefix based so the DuckDB oracles
+reproduce them bit-for-bit; purely internal join/count keys (the
+repeated-span gram hash, the decontamination gram hash) use the
+engine-native xxhash64 — the results are hash-choice-invariant absent
+a 64-bit collision, the same failure class either way (round-8
+optimization; verified value-identical against the md5-based oracles).
 """
 
 from __future__ import annotations
