@@ -203,19 +203,38 @@ def _star_components(
         center = j.select("u", F.col("m").alias("v"))
         return to_min.union(center).distinct()
 
+    def _fp(e: DataFrame):
+        # one aggregate job: row count + order-insensitive set hash.
+        # Both round outputs are distinct() edge SETS, so (count, xor of
+        # per-row xxhash64) fingerprints the set; a hash collision can
+        # only cost one wasted exact check below, never a wrong label.
+        row = e.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("_h"),
+        ).collect()[0]
+        return (row["_n"], row["_h"])
+
     converged = False
+    fp_edges = None
     for _ in range(max_rounds):
         nxt = small_star(large_star(edges)).localCheckpoint()
         # a (large, small) round is a no-op exactly on a forest of
-        # min-rooted stars; compare bounded: counts + one-row probe of
-        # the symmetric difference
-        if nxt.count() == edges.count() and (
+        # min-rooted stars. Probe cheap-first: unequal fingerprints
+        # prove the sets differ (skip the exceptAll shuffle those
+        # rounds); equal fingerprints are CONFIRMED with the exact
+        # bounded symmetric-difference probe before declaring
+        # convergence — exactness is unchanged.
+        if fp_edges is None:
+            fp_edges = _fp(edges)
+        fp_nxt = _fp(nxt)
+        if fp_nxt == fp_edges and (
             nxt.exceptAll(edges).limit(1).count() == 0
         ):
             converged = True
             edges = nxt
             break
         edges = nxt
+        fp_edges = fp_nxt
     if not converged:
         raise RuntimeError(
             f"star connected components did not converge within "
